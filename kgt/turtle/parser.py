@@ -1,0 +1,656 @@
+"""Recursive-descent Turtle parser with follow-set error recovery.
+
+From-scratch re-expression of the reference reader's production set
+(/root/reference/lib/rdf/turtle/reader.rb:251-618, grammar
+etc/turtle.bnf:1-29). Behavioral contract:
+
+  - one emitted (subject, predicate, object) per read_object, in the
+    reference's emission order (collection cells before the containing
+    triple, bnode-property-list innards before the outer statement,
+    annotation triples after the annotated one)
+  - literal fixups: leading-dot decimals get "0" prepended, "N.E±x"
+    doubles get ".0" inserted (reader.rb:467-473)
+  - prefixed names expand by string concatenation, then relative-IRI
+    resolution against the in-scope base (reader.rb:220-240)
+  - '@base'/'@prefix' forms demand a '.'; SPARQL BASE/PREFIX forms
+    reject one; '@'-forms must be lowercase — violations are logged
+    errors with recovery (reader.rb:271-315; README "Variations")
+  - both 'a' and 'A' are rdf:type (README "Variations")
+  - error recovery: skip tokens to the innermost production whose
+    follow set contains the lookahead, consume it, continue
+    (reader.rb:566-618); validate mode still recovers but the run is
+    marked failed
+  - RDF-star quoted triples / annotations gated on ``rdfstar=True``
+    (reader.rb:406-460)
+
+Blank-node labels are deterministic per document: user labels map to
+``u<label>``, anonymous nodes to ``g<counter>`` — collision-free and
+stable, so downstream skolemization is pure hashing (no isomorphism
+checks needed; SURVEY §7.3.2 deviation note).
+"""
+
+from __future__ import annotations
+
+from kgt.turtle import uri as urilib
+from kgt.turtle.lexer import Lexer, LexerError
+from kgt.turtle import terms as tm
+from kgt.turtle.terms import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+)
+
+import re
+
+_PN_LOCAL_ESC_RE = re.compile(r"\\([_~.\-!$&'()*+,;=/?#@%])")
+
+
+class ParseError(Exception):
+    """Raised by parse() in validate mode when any error was logged."""
+
+
+class _SyntaxErr(Exception):
+    pass
+
+
+class _Recovery(Exception):
+    pass
+
+
+class _EOFInRecovery(Exception):
+    pass
+
+
+class TurtleParser:
+    """One parser instance per document. Use ``parse(text)``.
+
+    Options mirror the reference reader's (reader.rb:58-117):
+    base_uri, prefixes, validate, canonicalize, rdfstar.
+    """
+
+    def __init__(
+        self,
+        base_uri: str = "",
+        prefixes: dict | None = None,
+        validate: bool = False,
+        canonicalize: bool = False,
+        rdfstar: bool = False,
+    ):
+        self.base_uri = base_uri or ""
+        self.initial_prefixes = dict(prefixes or {})
+        self.validate = validate
+        self.canonicalize = canonicalize
+        self.rdfstar = rdfstar
+
+    # -- public API -----------------------------------------------------
+
+    def parse(self, text: str):
+        """Parse one document → (statements, errors).
+
+        statements: list of (subj, pred, obj) term tuples, emission order.
+        errors: list of (lineno, production, message).
+        Raises ParseError in validate mode if any error was logged.
+        """
+        self.lexer = Lexer(text)
+        self.prefixes = dict(self.initial_prefixes)
+        self.base = self.base_uri
+        self.statements = []
+        self.errors = []
+        self._bnode_cache = {}
+        self._anon_counter = 0
+        self._prod_stack = []
+        self.recovering = False
+
+        while True:
+            try:
+                if self.lexer.first() is None:
+                    break
+            except LexerError:
+                pass  # let read_statement's recovery handle it
+            try:
+                self._read_statement()
+            except (LexerError, _SyntaxErr, _Recovery, _EOFInRecovery):
+                break
+
+        if self.validate and self.errors:
+            raise ParseError(
+                f"{len(self.errors)} errors found during processing: "
+                f"{self.errors[:3]}"
+            )
+        return self.statements, self.errors
+
+    # -- infrastructure ---------------------------------------------------
+
+    def _error(self, message: str, production: str = "", token=None):
+        lineno = token[2] if token is not None else self.lexer.lineno
+        self.errors.append((lineno, production, message))
+        self.recovering = True
+        raise _SyntaxErr(message)
+
+    def _first(self):
+        return self.lexer.first()
+
+    def _shift(self):
+        return self.lexer.shift()
+
+    @staticmethod
+    def _tok_is(tok, value) -> bool:
+        """Match a token against a string terminal (case-insensitive value,
+        like EBNF token matching — this is what makes 'A' ≡ 'a')."""
+        return tok is not None and (
+            tok[0] == value or tok[1].lower() == value.lower()
+        )
+
+    def _prod(self, production: str, recover_to, fn):
+        """Production wrapper with follow-set recovery (reader.rb:566-618)."""
+        self._prod_stack.append(recover_to)
+        self.recovering = False
+        try:
+            return fn()
+        except (LexerError, _SyntaxErr, _Recovery) as e:
+            if isinstance(e, LexerError):
+                self.lexer.recover()
+                self.errors.append((e.lineno, production, f"lexer: {e}"))
+                self.recovering = True
+            try:
+                tok = self.lexer.first()
+            except LexerError:
+                self.lexer.recover()
+                tok = None
+            if tok is None and self.lexer.pos >= len(self.lexer.text):
+                raise _EOFInRecovery("end of input while recovering")
+            # union of stacked follow sets
+            follows = [t for rt in self._prod_stack for t in rt]
+            while True:
+                try:
+                    tok = self.lexer.first()
+                except LexerError:
+                    self.lexer.recover()
+                    continue
+                if tok is None:
+                    raise _Recovery()
+                if any(self._tok_is(tok, f) for f in follows):
+                    break
+                self._shift()
+            if not any(self._tok_is(tok, f) for f in recover_to):
+                raise _Recovery()
+            return self._shift()  # truthy: consumed follow token
+        finally:
+            self._prod_stack.pop()
+
+    # -- term helpers -----------------------------------------------------
+
+    def _process_iri(self, iri: str):
+        """Resolve against base; validate/canonicalize flags
+        (reader.rb:181-191)."""
+        if not urilib.is_absolute(iri) and self.base:
+            iri = urilib.resolve(self.base, iri)
+        if self.validate and not urilib.is_absolute(iri):
+            self._error(f"relative IRI without base: {iri!r}", "process_iri")
+        return ("I", iri)
+
+    def _pname(self, prefix: str, suffix: str):
+        """String-concatenation pname expansion (reader.rb:220-240)."""
+        if prefix in self.prefixes:
+            base = self.prefixes[prefix]
+        elif prefix == "" and not self.validate:
+            base = self.base
+        else:
+            self._error("undefined prefix", "pname", None)
+        if "\\" in suffix:
+            suffix = _PN_LOCAL_ESC_RE.sub(r"\1", suffix)
+        if "#" in base and suffix.startswith("#"):
+            suffix = suffix[1:]
+        return self._process_iri(base + suffix)
+
+    def _bnode(self, label: str | None = None):
+        if label is None:
+            n = self._anon_counter
+            self._anon_counter += 1
+            return ("B", f"g{n}")
+        got = self._bnode_cache.get(label)
+        if got is None:
+            got = ("B", "u" + label)
+            self._bnode_cache[label] = got
+        return got
+
+    def _literal(self, lexical, datatype=None, lang=None, direction=None):
+        t = ("L", lexical, datatype, lang, direction)
+        if self.canonicalize:
+            t = tm.canonicalize(t)
+        return t
+
+    def _add_statement(self, production, s, p, o):
+        """Emission gate (reader.rb:172-178)."""
+        if s is None or p is None or o is None:
+            return
+        if self.validate and not self._statement_valid(s, p, o):
+            self._error("Statement is invalid", production)
+        self.statements.append((s, p, o))
+
+    def _statement_valid(self, s, p, o) -> bool:
+        for t in (s, p, o):
+            if t[0] == "L" and not tm.literal_valid(t):
+                return False
+            if t[0] == "I" and not urilib.is_absolute(t[1]):
+                return False
+        return True
+
+    # -- productions (etc/turtle.bnf:1-29) --------------------------------
+
+    def _read_statement(self):
+        def body():
+            tok = self._first()
+            if tok is None:
+                self._error("Unexpected end of file", "statement")
+            if tok[0] in ("BASE", "PREFIX"):
+                if not self._read_directive():
+                    self._error("Failed to parse directive", "directive", tok)
+            else:
+                if not self._read_triples():
+                    self._error("Expected token", "statement", tok)
+                if not self.recovering or self._tok_is(self._first(), "."):
+                    t = self._shift()
+                    if t is None or t[1] != ".":
+                        self._error(
+                            "Expected '.' following triple", "statement", t
+                        )
+
+        return self._prod("statement", ["."], body)
+
+    def _read_directive(self):
+        def body():
+            tok = self._first()
+            if tok[0] == "BASE":
+                return self._prod("base", [], lambda: self._directive_base(tok))
+            if tok[0] == "PREFIX":
+                return self._prod(
+                    "prefixID", ["."], lambda: self._directive_prefix(tok)
+                )
+            return None
+
+        return self._prod("directive", ["."], body)
+
+    def _directive_base(self, tok):
+        self._shift()
+        terminated = tok[1] == "@base"
+        iri = self._shift()
+        if iri is None or iri[0] != "IRIREF":
+            self._error("Expected IRIREF", "base", iri)
+        self.base = self._process_iri(iri[1][1:-1])[1]
+        if tok[1].startswith("@") and tok[1] != "@base":
+            self._error(f"{tok[1]} should be downcased", "base", tok)
+        if terminated:
+            if not self._tok_is(self._first(), "."):
+                self._error(f"Expected {tok[1]} to be terminated", "base")
+            self._shift()
+        elif self._tok_is(self._first(), "."):
+            self._error(f"Expected {tok[1]} not to be terminated", "base")
+        return True
+
+    def _directive_prefix(self, tok):
+        self._shift()
+        pfx, iri = self._shift(), self._shift()
+        terminated = tok[1] == "@prefix"
+        if pfx is None or pfx[0] != "PNAME_NS":
+            self._error("Expected PNAME_NS", "prefix", pfx)
+        if iri is None or iri[0] != "IRIREF":
+            self._error("Expected IRIREF", "prefix", iri)
+        # prefix IRIs resolve against the current base (reader.rb:212-216)
+        self.prefixes[pfx[1][:-1]] = self._process_iri(iri[1][1:-1])[1]
+        if tok[1].startswith("@") and tok[1] != "@prefix":
+            self._error(f"{tok[1]} should be downcased", "prefixID", tok)
+        if terminated:
+            if not self._tok_is(self._first(), "."):
+                self._error(f"Expected {tok[1]} to be terminated", "prefixID")
+            self._shift()
+        elif self._tok_is(self._first(), "."):
+            self._error(f"Expected {tok[1]} not to be terminated", "prefixID")
+        return True
+
+    def _read_triples(self):
+        def body():
+            tok = self._first()
+            if tok is None:
+                self._error("Unexpected end of file", "triples")
+            if tok[0] is None and tok[1] == "[":
+                subject = self._read_blankNodePropertyList()
+                if subject is None:
+                    self._error(
+                        "Failed to parse blankNodePropertyList",
+                        "triples",
+                        self._first(),
+                    )
+                return self._read_predicateObjectList(subject) or subject
+            subject = self._read_subject()
+            if subject is None:
+                self._error("Failed to parse subject", "triples", self._first())
+            pol = self._read_predicateObjectList(subject)
+            if not pol:
+                self._error(
+                    "Expected predicateObjectList", "triples", self._first()
+                )
+            return pol
+
+        return self._prod("triples", ["."], body)
+
+    def _read_predicateObjectList(self, subject):
+        def body():
+            last_verb = None
+            while True:
+                verb = self._read_verb()
+                if verb is None:
+                    break
+                last_verb = verb
+
+                def inner():
+                    if not self._read_objectList(subject, verb):
+                        self._error(
+                            "Expected objectList",
+                            "predicateObjectList",
+                            self._first(),
+                        )
+                    return True
+
+                self._prod("_predicateObjectList_5", [], inner)
+                if not self._tok_is(self._first(), ";"):
+                    break
+                while self._tok_is(self._first(), ";"):
+                    self._shift()
+            return last_verb
+
+        return self._prod("predicateObjectList", [";"], body)
+
+    def _read_objectList(self, subject, predicate):
+        def body():
+            last_object = None
+            while True:
+                obj = self._prod(
+                    "_objectList_2", [], lambda: self._read_object(subject, predicate)
+                )
+                if obj is None:
+                    break
+                last_object = obj
+                self._read_annotation(subject, predicate, obj)
+                if not self._tok_is(self._first(), ","):
+                    break
+                while self._tok_is(self._first(), ","):
+                    self._shift()
+            return last_object
+
+        return self._prod("objectList", [","], body)
+
+    def _read_verb(self):
+        tok = self._first()
+        if tok is None:
+            self._error("Unexpected end of file", "verb")
+        if tok[0] is None and tok[1] in ("a", "A"):
+            # both 'a' and 'A' match rdf:type (README "Variations")
+            def body():
+                self._shift()
+                return RDF_TYPE
+
+            return self._prod("verb", [], body)
+        return self._prod("verb", [], self._read_iri)
+
+    def _read_subject(self):
+        def body():
+            r = (
+                self._read_iri()
+                or self._read_BlankNode()
+                or self._read_collection()
+                or self._read_quotedTriple()
+            )
+            if r is None:
+                self._error("Expected subject", "subject", self._first())
+            return r
+
+        return self._prod("subject", [], body)
+
+    def _read_object(self, subject=None, predicate=None):
+        def body():
+            obj = (
+                self._read_iri()
+                or self._read_BlankNode()
+                or self._read_collection()
+                or self._read_blankNodePropertyList()
+                or self._read_literal()
+                or self._read_quotedTriple()
+            )
+            if obj is not None and subject is not None and predicate is not None:
+                self._add_statement("object", subject, predicate, obj)
+            return obj
+
+        return self._prod("object", [], body)
+
+    def _read_quotedTriple(self):
+        if not self.rdfstar:
+            return None
+        tok = self._first()
+        if tok is None or tok[1] != "<<":
+            return None
+
+        def body():
+            self._shift()
+            s = self._read_qtSubject()
+            if s is None:
+                self._error(
+                    "Failed to parse subject", "quotedTriple", self._first()
+                )
+            p = self._read_verb()
+            if p is None:
+                self._error(
+                    "Failed to parse predicate", "quotedTriple", self._first()
+                )
+            o = self._read_qtObject()
+            if o is None:
+                self._error(
+                    "Failed to parse object", "quotedTriple", self._first()
+                )
+            end = self._first()
+            if end is None or end[1] != ">>":
+                self._error(
+                    "Failed to end of embedded triple",
+                    "quotedTriple",
+                    end,
+                )
+            self._shift()
+            return ("Q", s, p, o)
+
+        return self._prod("quotedTriple", [], body)
+
+    def _read_qtSubject(self):
+        def body():
+            r = (
+                self._read_iri()
+                or self._read_BlankNode()
+                or self._read_quotedTriple()
+            )
+            if r is None:
+                self._error(
+                    "Expected embedded subject", "qtSubject", self._first()
+                )
+            return r
+
+        return self._prod("qtSubject", [], body)
+
+    def _read_qtObject(self):
+        def body():
+            return (
+                self._read_iri()
+                or self._read_BlankNode()
+                or self._read_literal()
+                or self._read_quotedTriple()
+            )
+
+        return self._prod("qtObject", [], body)
+
+    def _read_annotation(self, subject, predicate, obj):
+        tok = self._first()
+        if tok is None:
+            self._error("Unexpected end of file", "annotation")
+        if tok[1] != "{|":
+            return None
+
+        def body():
+            self._shift()
+            statement = ("Q", subject, predicate, obj)
+            if not self._read_predicateObjectList(statement):
+                self._error(
+                    "Expected predicateObjectList", "annotation", self._first()
+                )
+            if not self._tok_is(self._first(), "|}"):
+                self._error("Expected closing '|}'", "annotation")
+            self._shift()
+            return True
+
+        return self._prod("annotation", ["|}"], body)
+
+    def _read_literal(self):
+        tok = self._first()
+        if tok is None:
+            self._error("Unexpected end of file", "literal")
+        ttype = tok[0]
+        tval = tok[1]
+        if ttype == "INTEGER":
+            return self._prod(
+                "literal",
+                [],
+                lambda: self._literal(self._shift()[1], datatype=XSD_INTEGER),
+            )
+        if ttype == "DECIMAL":
+
+            def dec():
+                v = self._shift()[1]
+                # only the bare leading-dot form gets "0" prepended
+                # (reader.rb:470-471; "+.1" stays "+.1")
+                if v.startswith("."):
+                    v = "0" + v
+                return self._literal(v, datatype=XSD_DECIMAL)
+
+            return self._prod("literal", [], dec)
+        if ttype == "DOUBLE":
+
+            def dbl():
+                v = re.sub(r"\.([eE])", r".0\1", self._shift()[1])
+                return self._literal(v, datatype=XSD_DOUBLE)
+
+            return self._prod("literal", [], dbl)
+        if ttype is None and tval in ("true", "false"):
+            return self._prod(
+                "literal",
+                [],
+                lambda: self._literal(self._shift()[1], datatype=XSD_BOOLEAN),
+            )
+        if ttype in ("STRING_LITERAL_QUOTE", "STRING_LITERAL_SINGLE_QUOTE"):
+            return self._prod("literal", [], lambda: self._string_literal(1, 1))
+        if ttype in (
+            "STRING_LITERAL_LONG_QUOTE",
+            "STRING_LITERAL_LONG_SINGLE_QUOTE",
+        ):
+            return self._prod("literal", [], lambda: self._string_literal(3, 3))
+        return None
+
+    def _string_literal(self, lstrip: int, rstrip: int):
+        value = self._shift()[1][lstrip:-rstrip]
+        tok = self._first()
+        if tok is None:
+            self._error("Unexpected end of file", "literal")
+        if tok[0] == "LANG_DIR":
+            lang_dir = self._shift()[1][1:]
+            if "--" in lang_dir:
+                language, direction = lang_dir.split("--", 1)
+            else:
+                language, direction = lang_dir, None
+            return self._literal(value, lang=language, direction=direction)
+        if tok[0] is None and tok[1] == "^^":
+            self._shift()
+            dt = self._read_iri()
+            if dt is None:
+                self._error("Expected datatype IRI", "literal", self._first())
+            return self._literal(value, datatype=dt[1])
+        return self._literal(value)
+
+    def _read_blankNodePropertyList(self):
+        tok = self._first()
+        # bare [] / [ ] lexes as ANON and is a BlankNode, not a property list
+        if tok is None or tok[0] is not None or tok[1] != "[":
+            return None
+
+        def body():
+            self._shift()
+            node = self._bnode()
+            self._read_predicateObjectList(node)
+            if not self._tok_is(self._first(), "]"):
+                self._error("Expected closing ']'", "blankNodePropertyList")
+            self._shift()
+            return node
+
+        return self._prod("blankNodePropertyList", ["]"], body)
+
+    def _read_collection(self):
+        tok = self._first()
+        if tok is None or not (tok[0] is None and tok[1] == "("):
+            return None
+
+        def body():
+            self._shift()
+            objects = []
+            while True:
+                obj = self._read_object()
+                if obj is None:
+                    break
+                objects.append(obj)
+            # cons-list expansion (reader.rb:527-546 via RDF::List):
+            # cell triples are emitted HERE, before the containing triple
+            if objects:
+                cells = [self._bnode() for _ in objects]
+                for i, (cell, obj) in enumerate(zip(cells, objects)):
+                    self._add_statement("collection", cell, RDF_FIRST, obj)
+                    rest = cells[i + 1] if i + 1 < len(cells) else RDF_NIL
+                    self._add_statement("collection", cell, RDF_REST, rest)
+                head = cells[0]
+            else:
+                head = RDF_NIL
+            if not self._tok_is(self._first(), ")"):
+                self._error("Expected closing ')'", "collection")
+            self._shift()
+            return head
+
+        return self._prod("collection", [")"], body)
+
+    def _read_iri(self):
+        tok = self._first()
+        if tok is None:
+            return None
+        if tok[0] == "IRIREF":
+            return self._prod(
+                "iri", [], lambda: self._process_iri(self._shift()[1][1:-1])
+            )
+        if tok[0] in ("PNAME_LN", "PNAME_NS"):
+
+            def body():
+                v = self._shift()[1]
+                prefix, _, suffix = v.partition(":")
+                return self._pname(prefix, suffix)
+
+            return self._prod("iri", [], body)
+        return None
+
+    def _read_BlankNode(self):
+        tok = self._first()
+        if tok is None:
+            return None
+        if tok[0] == "BLANK_NODE_LABEL":
+            return self._prod(
+                "BlankNode", [], lambda: self._bnode(self._shift()[1][2:])
+            )
+        if tok[0] == "ANON":
+            self._shift()
+            return self._prod("BlankNode", [], lambda: self._bnode())
+        return None

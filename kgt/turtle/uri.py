@@ -1,0 +1,117 @@
+"""RFC 3986 reference resolution (strict), matching RDF.rb's choices.
+
+The reference resolves relative IRIs with RDF::URI#join
+(lib/rdf/turtle/reader.rb:181-191); behavior is pinned by the 306-case
+battery at spec/reader_spec.rb:1216-1931 (RubenVerborgh's RFC 3986 gist).
+Python's urllib.parse.urljoin deviates on several cases (e.g. <http:g>,
+scheme-relative refs for unknown schemes), so this is a from-scratch
+implementation of RFC 3986 §5.2.
+
+No normalization beyond dot-segment removal: case, percent-encoding and
+default ports are preserved (RDF.rb joins without canonicalizing).
+"""
+
+from __future__ import annotations
+
+import re
+
+_SPLIT_RE = re.compile(
+    r"\A(?:([A-Za-z][A-Za-z0-9+.\-]*):)?"  # scheme
+    r"(?://([^/?#]*))?"                      # authority
+    r"([^?#]*)"                              # path
+    r"(?:\?([^#]*))?"                        # query
+    r"(?:#(.*))?\Z",
+    re.S,
+)
+
+
+def split_iri(iri: str):
+    """Split into (scheme, authority, path, query, fragment); None = absent."""
+    m = _SPLIT_RE.match(iri)
+    return m.groups()
+
+
+def unsplit(scheme, authority, path, query, fragment) -> str:
+    out = []
+    if scheme is not None:
+        out.append(scheme + ":")
+    if authority is not None:
+        out.append("//" + authority)
+    out.append(path or "")
+    if query is not None:
+        out.append("?" + query)
+    if fragment is not None:
+        out.append("#" + fragment)
+    return "".join(out)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    if not path or ("." not in path):
+        return path
+    output = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            # move first segment (incl. leading '/') to output
+            i = path.find("/", 1)
+            if i == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:i])
+                path = path[i:]
+    return "".join(output)
+
+
+def _merge(base_authority, base_path: str, ref_path: str) -> str:
+    """RFC 3986 §5.2.3."""
+    if base_authority is not None and not base_path:
+        return "/" + ref_path
+    i = base_path.rfind("/")
+    if i == -1:
+        return ref_path
+    return base_path[: i + 1] + ref_path
+
+
+def is_absolute(iri: str) -> bool:
+    return split_iri(iri)[0] is not None
+
+
+def resolve(base: str, ref: str) -> str:
+    """Resolve ``ref`` against ``base`` per RFC 3986 §5.2.2 (strict)."""
+    if not base:
+        return ref
+    r_scheme, r_auth, r_path, r_query, r_frag = split_iri(ref)
+    if r_scheme is not None:
+        return unsplit(
+            r_scheme, r_auth, remove_dot_segments(r_path), r_query, r_frag
+        )
+    b_scheme, b_auth, b_path, b_query, _ = split_iri(base)
+    if r_auth is not None:
+        t = (b_scheme, r_auth, remove_dot_segments(r_path), r_query, r_frag)
+    elif not r_path:
+        t = (b_scheme, b_auth, b_path, r_query if r_query is not None else b_query, r_frag)
+    elif r_path.startswith("/"):
+        t = (b_scheme, b_auth, remove_dot_segments(r_path), r_query, r_frag)
+    else:
+        merged = _merge(b_auth, b_path, r_path)
+        t = (b_scheme, b_auth, remove_dot_segments(merged), r_query, r_frag)
+    return unsplit(*t)
