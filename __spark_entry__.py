@@ -1,38 +1,651 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the kgt engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators over the driver's parquet
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible operator (the rest get rows-only checks).
+
+The kg_* family is the flagship: Turtle documents are DERIVED
+deterministically from the orders/customer tables, split across
+multi-turn transcripts, reassembled, and parsed by the full pipeline —
+and the oracle constructs the exact expected triples (including md5
+skolem labels) directly in SQL. Parser correctness is thus
+oracle-checked end-to-end, not just row-counted.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+# ---------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _orders_extracted(spark, sf_dir, with_errors=False):
+    from kgt.spark.parse import extract_triples
+    from kgt.spark.transcripts import orders_transcripts
+
+    return extract_triples(orders_transcripts(spark, sf_dir, with_errors=with_errors))
+
+
+def _bnodes_extracted(spark, sf_dir):
+    from kgt.spark.parse import extract_triples
+    from kgt.spark.transcripts import customer_bnode_transcripts
+
+    return extract_triples(customer_bnode_transcripts(spark, sf_dir))
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ near-duplicate mutants (doc_id%10==0, first word
+    dropped, id+10^7) ∪ exact copies (doc_id%7==0, id+2·10^7) — gives
+    every dedup operator true positives, reproducibly on both engines."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(mutants).unionByName(copies)
+
+
+_DUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           regexp_replace(text, '^\\S+\\s+', '') AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 20000000 AS doc_id, text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+# expected triples of the orders corpus, constructed directly in SQL
+_ORDERS_TRIPLES_SQL = f"""
+    WITH o AS (
+      SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+             '<urn:ord:' || CAST(o_orderkey AS VARCHAR) || '>' AS subj,
+             CAST(o_custkey AS VARCHAR) AS ck,
+             o_orderstatus AS st,
+             CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) AS cents,
+             o_orderpriority AS prio
+      FROM orders
+    )
+    SELECT conv_id, 0 AS stmt_idx, subj, '<{RDF_TYPE}>' AS pred,
+           '<urn:p:Order>' AS obj FROM o
+    UNION ALL SELECT conv_id, 1, subj, '<urn:p:cust>',
+           '<urn:cust:' || ck || '>' FROM o
+    UNION ALL SELECT conv_id, 2, subj, '<urn:p:status>',
+           '"' || st || '"' FROM o
+    UNION ALL SELECT conv_id, 3, subj, '<urn:p:total>',
+           '"' || cents || '"^^<{XSD_INT}>' FROM o
+    UNION ALL SELECT conv_id, 4, subj, '<urn:p:priority>',
+           '"' || prio || '"@en' FROM o
+    UNION ALL SELECT conv_id, 5, subj, '<urn:p:priority>',
+           '"alt"' FROM o
+"""
+
+# expected triples of the customer bnode/collection corpus (md5 skolems)
+_BNODES_TRIPLES_SQL = f"""
+    WITH c AS (
+      SELECT 'b' || CAST(c_custkey AS VARCHAR) AS conv_id,
+             '<urn:cust:' || CAST(c_custkey AS VARCHAR) || '>' AS cust,
+             CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR) AS bal,
+             c_mktsegment AS seg, c_name AS name
+      FROM customer
+    ), s AS (
+      SELECT *,
+        '_:m' || md5('kgt1:' || conv_id || ':g0') AS g0,
+        '_:m' || md5('kgt1:' || conv_id || ':g1') AS g1,
+        '_:m' || md5('kgt1:' || conv_id || ':g2') AS g2,
+        '_:m' || md5('kgt1:' || conv_id || ':g3') AS g3
+      FROM c
+    )
+    SELECT conv_id, 0 AS stmt_idx, g0 AS subj, '<urn:p:bal>' AS pred,
+           '"' || bal || '"^^<{XSD_INT}>' AS obj FROM s
+    UNION ALL SELECT conv_id, 1, g0, '<urn:p:seg>', '"' || seg || '"' FROM s
+    UNION ALL SELECT conv_id, 2, cust, '<urn:p:acct>', g0 FROM s
+    UNION ALL SELECT conv_id, 3, g1,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>', '"A"' FROM s
+    UNION ALL SELECT conv_id, 4, g1,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>', g2 FROM s
+    UNION ALL SELECT conv_id, 5, g2,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>',
+           '"' || name || '"' FROM s
+    UNION ALL SELECT conv_id, 6, g2,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>', g3 FROM s
+    UNION ALL SELECT conv_id, 7, g3,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>', cust FROM s
+    UNION ALL SELECT conv_id, 8, g3,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>',
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>' FROM s
+    UNION ALL SELECT conv_id, 9, cust, '<urn:p:tags>', g1 FROM s
+"""
+
+_SHINGLES_SQL = """
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' ')))
+           ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM corpus)
+"""
+
+
+# ---------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------
+
+def _q_kg_triples_orders(spark, sf_dir):
+    from kgt.spark.parse import triples
+
+    return triples(_orders_extracted(spark, sf_dir)).select(
+        "conv_id", "stmt_idx", "subj", "pred", "obj"
+    )
+
+
+def _q_kg_triples_bnodes(spark, sf_dir):
+    from kgt.spark.parse import triples
+
+    return triples(_bnodes_extracted(spark, sf_dir)).select(
+        "conv_id", "stmt_idx", "subj", "pred", "obj"
+    )
+
+
+def _q_kg_recovery_quarantine(spark, sf_dir):
+    from kgt.spark.parse import errors
+
+    return (
+        errors(_orders_extracted(spark, sf_dir, with_errors=True))
+        .select("conv_id")
+        .distinct()
+    )
+
+
+def _q_kg_recovery_triples(spark, sf_dir):
+    from kgt.spark.parse import triples
+
+    return (
+        triples(_orders_extracted(spark, sf_dir, with_errors=True))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
+def _q_kg_stream_separators(spark, sf_dir):
+    """Streaming-writer separator choice (streaming_writer.rb:27-40) as
+    a window expression: ',' on repeated (subj, pred), ';' on repeated
+    subj, 'new' otherwise."""
+    from kgt.spark.parse import triples
+
+    t = triples(_orders_extracted(spark, sf_dir))
+    w = W.partitionBy("conv_id").orderBy("stmt_idx")
+    return t.select(
+        "conv_id",
+        "stmt_idx",
+        F.when(
+            (F.lag("subj").over(w) == F.col("subj"))
+            & (F.lag("pred").over(w) == F.col("pred")),
+            ",",
+        )
+        .when(F.lag("subj").over(w) == F.col("subj"), ";")
+        .otherwise("new")
+        .alias("sep"),
+    )
+
+
+def _q_kg_refcounts(spark, sf_dir):
+    """Writer preprocess ref-counts (writer.rb:408-451): how many times
+    each term appears as object — drives inline-[...]-vs-label choice."""
+    from kgt.spark.parse import triples
+
+    t = triples(_bnodes_extracted(spark, sf_dir))
+    return t.groupBy("obj").agg(F.count("*").alias("ref_count"))
+
+
+def _q_kg_entity_links(spark, sf_dir):
+    from kgt.spark.link import detect_mentions, link_mentions
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir)
+    dict_rows = [
+        ("user", "urn:agent:user"),
+        ("assistant", "urn:agent:assistant"),
+        ("tool", "urn:agent:tool"),
+        ("turtle_emitter", "urn:tool:turtle_emitter"),
+    ]
+    iri_dict = spark.createDataFrame(dict_rows, "surface string, iri string")
+    linked = link_mentions(detect_mentions(tx), iri_dict)
+    return (
+        linked.filter(F.col("kind").isin("role", "tool"))
+        .groupBy("iri")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4)
+        )
+    )
+
+
+def _q3_top_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return rev
+
+
+def _q_events_sessionize(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from kgt.textops.dedup import exact_duplicates
+
+    return exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from kgt.textops.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    sh = shingles(_dup_corpus(spark, sf_dir))
+    return lsh_candidate_pairs(minhash_signatures(sh, n_hashes=8))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from kgt.textops.dedup import ngram_jaccard_pairs, shingles
+
+    sh = shingles(_dup_corpus(spark, sf_dir))
+    return ngram_jaccard_pairs(sh, threshold=0.6)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from kgt.textops.dedup import simhash64, simhash_near_pairs
+
+    return simhash_near_pairs(simhash64(_dup_corpus(spark, sf_dir)), max_hamming=6)
+
+
+def _q_sim_topk(spark, sf_dir):
+    from kgt.textops.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _q_sim_topk_ivf(spark, sf_dir):
+    from kgt.textops.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _q_doc_langid(spark, sf_dir):
+    from kgt.textops.quality import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_doc_token_count(spark, sf_dir):
+    from kgt.textops.quality import token_count
+
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+def _q_doc_quality(spark, sf_dir):
+    from kgt.textops.quality import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from kgt.textops.quality import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    from kgt.textops.multimodal import decode_features, to_media
+
+    return decode_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG extraction over both derived corpora at sf0.001."""
+    from kgt.spark.parse import triples
+
+    sf = "/root/testdata/sf0.001"
+    ext_o = _orders_extracted(spark, sf, with_errors=True)
+    ext_b = _bnodes_extracted(spark, sf)
+    return triples(ext_o).unionByName(triples(ext_b))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples_orders": _q_kg_triples_orders,
+        "kg_triples_bnodes": _q_kg_triples_bnodes,
+        "kg_recovery_quarantine": _q_kg_recovery_quarantine,
+        "kg_recovery_triples": _q_kg_recovery_triples,
+        "kg_stream_separators": _q_kg_stream_separators,
+        "kg_refcounts": _q_kg_refcounts,
+        "kg_entity_links": _q_kg_entity_links,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "events_sessionize": _q_events_sessionize,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "sim_topk": _q_sim_topk,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        "doc_langid": _q_doc_langid,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls: dict[str, str] = {}
+
+    sqls["kg_triples_orders"] = _ORDERS_TRIPLES_SQL
+
+    sqls["kg_triples_bnodes"] = _BNODES_TRIPLES_SQL
+
+    sqls["kg_recovery_quarantine"] = """
+        SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id
+        FROM orders WHERE o_orderkey % 10 = 0
     """
-    return {}
+
+    sqls["kg_recovery_triples"] = """
+        SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+               CAST(6 AS BIGINT) AS n_triples
+        FROM orders
+    """
+
+    sqls["kg_stream_separators"] = f"""
+        WITH t AS ({_ORDERS_TRIPLES_SQL})
+        SELECT conv_id, stmt_idx,
+          CASE
+            WHEN lag(subj) OVER w = subj AND lag(pred) OVER w = pred THEN ','
+            WHEN lag(subj) OVER w = subj THEN ';'
+            ELSE 'new'
+          END AS sep
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY stmt_idx)
+    """
+
+    sqls["kg_refcounts"] = f"""
+        WITH t AS ({_BNODES_TRIPLES_SQL})
+        SELECT obj, count(*) AS ref_count FROM t GROUP BY obj
+    """
+
+    # roles cycle user/assistant/tool by turn_idx; orders docs have
+    # 7 turns (0..6): roles u,a,t,u,a,t,u → 3 user, 2 assistant,
+    # 2 tool per conversation; tool turns add a tool mention each
+    sqls["kg_entity_links"] = """
+        WITH n AS (SELECT count(*) AS c FROM orders)
+        SELECT 'urn:agent:user' AS iri, c * 3 AS n_mentions FROM n
+        UNION ALL SELECT 'urn:agent:assistant', c * 2 FROM n
+        UNION ALL SELECT 'urn:agent:tool', c * 2 FROM n
+        UNION ALL SELECT 'urn:tool:turtle_emitter', c * 2 FROM n
+    """
+
+    sqls["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+               count(*) AS count_order,
+               round(sum(CAST(l_quantity AS BIGINT)) / count(*), 4) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sqls["q3_top_orders"] = """
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue_cents DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    sqls["events_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g
+        )
+        SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        FROM s GROUP BY user_id
+    """
+
+    sqls["dedup_exact"] = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL})
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """
+
+    sqls["dedup_minhash_lsh"] = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        sig AS (
+          SELECT doc_id, band,
+                 min(md5('b' || CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+          FROM sh CROSS JOIN bands GROUP BY doc_id, band
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM sig l JOIN sig r
+          ON l.band = r.band AND l.minhash = r.minhash AND l.doc_id < r.doc_id
+    """
+
+    sqls["dedup_ngram_jaccard"] = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """
+
+    # dedup_simhash: xxhash64-based — not SQL-expressible in DuckDB
+    # (rows-only check by design)
+
+    _cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    sqls["sim_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_cos} AS sim
+          FROM e a CROSS JOIN e b
+          WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    sqls["sim_topk_ivf"] = f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_cos} AS sim
+          FROM e a JOIN e b ON a.label = b.label
+          WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    _norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    _occ = (
+        lambda w: f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    )
+    markers = {
+        "de": ["der", "und", "die"],
+        "en": ["the", "and", "of"],
+        "es": ["el", "y", "los"],
+        "fr": ["le", "et", "les"],
+        "zh": ["的", "了", "是"],
+    }
+    score_exprs = {
+        lang: " + ".join(_occ(w) for w in ws) for lang, ws in markers.items()
+    }
+    scores_sql = ", ".join(
+        f"({e}) AS s_{lang}" for lang, e in score_exprs.items()
+    )
+    max_sql = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    first_lang = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} = {max_sql} THEN '{lang}'"
+            for lang in sorted(markers)
+        )
+        + " END"
+    )
+    sqls["doc_langid"] = f"""
+        WITH p0 AS (SELECT doc_id, ' ' || {_norm} || ' ' AS p FROM documents),
+        sc AS (SELECT doc_id, {scores_sql} FROM p0)
+        SELECT doc_id,
+               CASE WHEN {max_sql} > 0 THEN {first_lang} ELSE 'und' END AS lang_pred,
+               {max_sql} AS marker_hits
+        FROM sc
+    """
+
+    sqls["doc_token_count"] = """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est,
+               length(text) AS n_chars
+        FROM documents
+    """
+
+    stop_occ = " + ".join(_occ(w) for w in ["the", "and", "of", "a", "in"])
+    sqls["doc_quality"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                 ' ' || {_norm} || ' ' AS p
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 round(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1), 6) AS alpha_ratio,
+                 round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+                 round(CAST(({stop_occ}) AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
+                 CASE WHEN n_chars < 20 THEN 0.2
+                      WHEN n_chars < 2000 THEN 1.0 ELSE 0.6 END AS len_band
+          FROM b
+        )
+        SELECT doc_id, alpha_ratio, punct_ratio, stop_ratio,
+               round((alpha_ratio + least(stop_ratio * 5, 1.0) + len_band) / 3, 6) AS quality
+        FROM r
+    """
+
+    # doc_fingerprint: fp_rolling_min uses xxhash64 — rows-only; but
+    # fp_exact alone IS expressible, so check a projection-free variant?
+    # keep rows-only for the combined op (see dedup_exact for the md5 path)
+
+    sqls["multimodal_decode"] = """
+        SELECT doc_id, 'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(('0x' || substr(md5(text), 1, 4))::INTEGER % 1024 + 1 AS INTEGER) AS width,
+               CAST(('0x' || substr(md5(text), 5, 4))::INTEGER % 1024 + 1 AS INTEGER) AS height
+        FROM documents
+    """
+
+    return sqls

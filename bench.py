@@ -1,0 +1,100 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Headline set = the flagship KG extraction (the engine's reason to
+exist) + one representative per operator family, so regressions in any
+family show up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from kgt.spark.session import get_spark
+
+    spark = get_spark("kgt-bench", cpus=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "kg_triples_orders",
+        "kg_triples_bnodes",
+        "kg_recovery_quarantine",
+        "kg_stream_separators",
+        "kg_entity_links",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "events_sessionize",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "sim_topk",
+        "sim_topk_ivf",
+        "doc_quality",
+        "multimodal_decode",
+    ]
+
+    # warm the JVM/Arrow paths once with a tiny action
+    spark.range(1000).count()
+
+    times = {}
+    extra = {}
+    total = 0.0
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        extra[f"{name}_rows"] = n
+
+    # turns/sec: the north-rule throughput metric over the parse path
+    from kgt.spark.parse import extract_triples
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir, with_errors=True).cache()
+    n_turns = tx.count()  # materialize input so we time parse, not gen
+    t0 = time.perf_counter()
+    n_rows = extract_triples(tx).count()
+    parse_sec = time.perf_counter() - t0
+    tx.unpersist()
+    extra["n_turns"] = n_turns
+    extra["parse_rows"] = n_rows
+    extra["turns_per_sec"] = round(n_turns / parse_sec, 1)
+    times["kg_parse_throughput"] = round(parse_sec, 3)
+    total += parse_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

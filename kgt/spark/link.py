@@ -1,0 +1,130 @@
+"""Entity linking & canonicalization (north-rule stage 4).
+
+Mentions (speakers/roles, tool names, IRIs referenced in turn text) are
+detected with vectorized regex/column ops — never per-row Python — and
+linked against a broadcast IRI/prefix dictionary. Near-miss surfaces
+(typos, case, spacing) fall back to character-3-gram MinHash blocking +
+Jaccard scoring, reusing the dedup LSH machinery.
+
+Scale notes: the dictionary join is a broadcast hash join (dict is
+~1k-1M rows — small side by construction); the LSH fallback only sees
+UNLINKED surfaces (anti-join first), so its self-join is tiny relative
+to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgt.textops.dedup import normalize_text
+
+# IRIs in free text: detected with one vectorized regexp (no UDF)
+_IRI_IN_TEXT = r"<(https?://[^\s<>\"{}|^`\\]+|urn:[^\s<>\"{}|^`\\]+)>"
+
+
+def detect_mentions(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, kind, surface): role mentions per turn, tool
+    mentions on tool turns, IRI mentions found in the text body.
+
+    Single scan: all mention kinds are collected into one array per
+    turn and exploded once — a 3-way union would re-read (and here
+    re-generate) the source once per kind.
+    """
+    mk = lambda kind, col: F.when(  # noqa: E731
+        col.isNotNull(),
+        F.array(F.struct(F.lit(kind).alias("kind"), col.alias("surface"))),
+    ).otherwise(F.array().cast("array<struct<kind:string,surface:string>>"))
+    iri_structs = F.transform(
+        F.regexp_extract_all("text", F.lit(_IRI_IN_TEXT), 1),
+        lambda s: F.struct(F.lit("iri").alias("kind"), s.alias("surface")),
+    )
+    all_mentions = F.concat(
+        mk("role", F.col("role")), mk("tool", F.col("tool")), iri_structs
+    )
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(all_mentions).alias("m"),
+    ).select("conv_id", "turn_idx", F.col("m.kind").alias("kind"), F.col("m.surface").alias("surface"))
+
+
+def link_mentions(mentions: DataFrame, iri_dict: DataFrame) -> DataFrame:
+    """Exact (normalized) broadcast-join linking.
+
+    iri_dict: (surface, iri). Returns mentions + canonical iri
+    (null = unlinked, feed to `fuzzy_link`).
+    """
+    d = F.broadcast(
+        iri_dict.select(
+            normalize_text(F.col("surface")).alias("_k"),
+            F.col("iri").alias("iri"),
+        ).dropDuplicates(["_k"])
+    )
+    m = mentions.withColumn("_k", normalize_text(F.col("surface")))
+    return m.join(d, "_k", "left").drop("_k")
+
+
+def _char3grams(col):
+    padded = F.concat(F.lit("  "), normalize_text(col), F.lit("  "))
+    n = F.length(padded)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.substring(padded, i, 3),
+        )
+    )
+
+
+def fuzzy_link(
+    unlinked_surfaces: DataFrame,
+    iri_dict: DataFrame,
+    n_hashes: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Char-3-gram MinHash blocking between unlinked surfaces and dict
+    surfaces, then exact 3-gram Jaccard ≥ threshold, best match per
+    surface. Input: (surface); output (surface, iri, jaccard)."""
+    s = unlinked_surfaces.select("surface").distinct().withColumn(
+        "grams", _char3grams(F.col("surface"))
+    )
+    d = iri_dict.select("surface", "iri").withColumn(
+        "grams", _char3grams(F.col("surface"))
+    )
+
+    def sigs(df, id_cols):
+        g = df.select(*id_cols, F.explode("grams").alias("gram"))
+        return g.select(
+            *id_cols,
+            F.explode(
+                F.array(*[F.lit(b) for b in range(n_hashes)])
+            ).alias("band"),
+            F.col("gram"),
+        ).groupBy(*id_cols, "band").agg(
+            F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("gram")))).alias("mh")
+        )
+
+    ss = sigs(s, ["surface"]).withColumnRenamed("surface", "m_surface")
+    ds = sigs(d, ["surface", "iri"])
+    cand = (
+        ss.join(ds, ["band", "mh"])
+        .select("m_surface", "surface", "iri")
+        .distinct()
+    )
+    scored = (
+        cand.join(s.withColumnRenamed("surface", "m_surface").select("m_surface", F.col("grams").alias("ga")), "m_surface")
+        .join(d.select("surface", F.col("grams").alias("gb")), "surface")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    best = scored.groupBy("m_surface").agg(
+        F.max(F.struct("jaccard", F.col("iri"))).alias("b")
+    )
+    return best.select(
+        F.col("m_surface").alias("surface"),
+        F.col("b.iri").alias("iri"),
+        F.round("b.jaccard", 6).alias("jaccard"),
+    )

@@ -1,0 +1,125 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting. Pure column expressions (whole-stage codegen);
+each has an exact SQL equivalent for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgt.textops.dedup import normalize_text
+
+# marker words per language for the n-gram/stopword heuristic —
+# deterministic and SQL-reproducible (counts of ' word ' occurrences)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["的", "了", "是"],
+}
+
+
+def _occurrences(padded, word):
+    """Number of occurrences of ' word ' in the padded normalized text."""
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word counts, 'und' when
+    all zero. Ties break by language code order (deterministic)."""
+    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, w) for w in words),
+            F.lit(0).cast("long"),
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    # max score, then the first language code (sorted) achieving it
+    max_score = F.greatest(*[scores[lang] for lang in sorted(LANG_MARKERS)])
+    lang = F.coalesce(
+        *[
+            F.when(scores[lang] == max_score, F.lit(lang))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(max_score > 0, lang).otherwise(F.lit("und")).alias("lang_pred"),
+        max_score.alias("marker_hits"),
+    )
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (ceil(chars/4)) +
+    char count — the three standard budget measures."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_chars = F.length(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(ws_tokens)
+        .alias("ws_tokens"),
+        F.ceil(n_chars / 4).cast("long").alias("bpe_tokens_est"),
+        n_chars.alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, alpha ratio, punctuation density, stopword presence.
+    All ratios rounded to 6dp so oracle comparison is exact."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    padded = F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
+    stop_hits = sum(
+        (_occurrences(padded, w) for w in ["the", "and", "of", "a", "in"]),
+        F.lit(0).cast("long"),
+    )
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    len_band = (
+        F.when(n_chars < 20, 0.2)
+        .when(n_chars < 2000, 1.0)
+        .otherwise(0.6)
+    )
+    score = F.round(
+        (alpha_ratio + F.least(stop_ratio * 5, F.lit(1.0)) + len_band) / 3, 6
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text plus a coarse
+    64-bit rolling-hash proxy (xxhash64 of normalized 8-word windows,
+    min-combined) for shift-tolerant matching."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    windows = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, 8))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp_exact"),
+        F.array_min(windows).alias("fp_rolling_min"),
+    )

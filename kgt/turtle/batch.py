@@ -1,0 +1,116 @@
+"""Batch-in / batch-out parse API — the unit mapInPandas wraps.
+
+Takes lists of documents (one reassembled conversation each), returns
+columnar lists: one output row per emitted statement plus one row per
+parse error (kind 'T' / 'E'). This module is Spark-free so the exact
+code that runs inside Arrow batches is unit-testable standalone
+(SURVEY §7.0 design stance).
+
+Skolemization happens here when requested: document-scoped bnode labels
+become content-hash skolem labels m<md5(salt:conv_id:label)> — stable
+under Spark task retries (never counter- or partition-id-based;
+SURVEY §4 explicit-engineering item 3) and reproducible in SQL oracles
+via DuckDB's md5().
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from kgt.turtle.parser import TurtleParser
+from kgt.turtle.terms import nt_encode
+
+TRIPLES_COLUMNS = [
+    "conv_id",
+    "stmt_idx",
+    "kind",
+    "subj",
+    "pred",
+    "obj",
+    "is_quoted",
+    "lineno",
+    "production",
+    "message",
+]
+
+DEFAULT_SKOLEM_SALT = "kgt1"
+
+
+def _skolem_label(conv_id: str, label: str, salt: str) -> str:
+    h = hashlib.md5(f"{salt}:{conv_id}:{label}".encode()).hexdigest()
+    return f"m{h}"
+
+
+def _encode_term(term, conv_id, salt):
+    """NT-encode a term, skolemizing bnodes (recursing into quoted triples)."""
+    kind = term[0]
+    if kind == "B" and salt is not None:
+        return "_:" + _skolem_label(conv_id, term[1], salt)
+    if kind == "Q":
+        return (
+            f"<< {_encode_term(term[1], conv_id, salt)} "
+            f"{_encode_term(term[2], conv_id, salt)} "
+            f"{_encode_term(term[3], conv_id, salt)} >>"
+        )
+    return nt_encode(term)
+
+
+def parse_batch(
+    conv_ids,
+    texts,
+    base_uri: str = "",
+    prefixes: dict | None = None,
+    validate: bool = False,
+    canonicalize: bool = False,
+    rdfstar: bool = False,
+    skolem_salt: str | None = DEFAULT_SKOLEM_SALT,
+):
+    """Parse a batch of documents → dict of TRIPLES_COLUMNS lists.
+
+    One 'T' row per emitted statement (NT-encoded terms, stmt_idx in
+    emission order), one 'E' row per recovered parse error. validate
+    mode still recovers; errors mark the run (reference duality,
+    reader.rb:142-144) — here every error is always a quarantine row.
+    """
+    parser = TurtleParser(
+        base_uri=base_uri,
+        prefixes=prefixes,
+        validate=validate,
+        canonicalize=canonicalize,
+        rdfstar=rdfstar,
+    )
+    # never raise mid-batch: validate-mode "raise at end of document"
+    # (reader.rb:142-144) becomes "drop the document's statements and
+    # keep its E rows" — the pipeline equivalent of a failed document.
+    parser.validate_raises = False
+    out = {c: [] for c in TRIPLES_COLUMNS}
+    app = {c: out[c].append for c in TRIPLES_COLUMNS}
+    for conv_id, text in zip(conv_ids, texts):
+        if text is None:
+            text = ""
+        stmts, errors = parser.parse(text)
+        if validate and errors:
+            stmts = []
+        for idx, (s, p, o) in enumerate(stmts):
+            app["conv_id"](conv_id)
+            app["stmt_idx"](idx)
+            app["kind"]("T")
+            app["subj"](_encode_term(s, conv_id, skolem_salt))
+            app["pred"](_encode_term(p, conv_id, skolem_salt))
+            app["obj"](_encode_term(o, conv_id, skolem_salt))
+            app["is_quoted"](s[0] == "Q" or o[0] == "Q")
+            app["lineno"](None)
+            app["production"](None)
+            app["message"](None)
+        for lineno, production, message in errors:
+            app["conv_id"](conv_id)
+            app["stmt_idx"](-1)
+            app["kind"]("E")
+            app["subj"](None)
+            app["pred"](None)
+            app["obj"](None)
+            app["is_quoted"](False)
+            app["lineno"](lineno)
+            app["production"](production)
+            app["message"](message[:500] if message else message)
+    return out

@@ -86,6 +86,8 @@ class TurtleParser:
         self.validate = validate
         self.canonicalize = canonicalize
         self.rdfstar = rdfstar
+        # batch mode sets this False: errors are returned, never raised
+        self.validate_raises = True
 
     # -- public API -----------------------------------------------------
 
@@ -117,7 +119,7 @@ class TurtleParser:
             except (LexerError, _SyntaxErr, _Recovery, _EOFInRecovery):
                 break
 
-        if self.validate and self.errors:
+        if self.validate and self.errors and self.validate_raises:
             raise ParseError(
                 f"{len(self.errors)} errors found during processing: "
                 f"{self.errors[:3]}"

@@ -1,0 +1,168 @@
+"""Spark pipeline integration tests: reassembly invariant, extraction,
+skolem determinism, quarantine, entity linking.
+
+Run via `python -m pytest -x -q` (the driver's gate). These need a
+local SparkSession (session fixture, local[4]).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def test_per_turn_text_equality(spark, sf_dir):
+    """input_hint invariant: reassembled doc == '\\n'-join of turn texts
+    under stable turn ordering, regardless of row order on disk."""
+    from kgt.spark.parse import reassemble
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir).cache()
+    docs = {r["conv_id"]: r["text"] for r in reassemble(tx).collect()}
+    turns = tx.orderBy("conv_id", "turn_idx").collect()
+    by_conv = {}
+    for r in turns:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    assert set(docs) == set(by_conv)
+    for conv_id, pairs in by_conv.items():
+        idxs = [i for i, _ in pairs]
+        assert idxs == sorted(idxs)
+        assert docs[conv_id] == "\n".join(t for _, t in pairs)
+    tx.unpersist()
+
+
+def test_transcript_schema(spark, sf_dir):
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir)
+    assert [f.name for f in tx.schema.fields] == [
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ]
+    types = {f.name: f.dataType.simpleString() for f in tx.schema.fields}
+    assert types["turn_idx"] == "int"
+    assert types["ts"] == "timestamp"
+
+
+def test_extract_counts_and_quarantine(spark, sf_dir):
+    from kgt.spark.parse import errors, extract_triples, triples
+    from kgt.spark.transcripts import orders_transcripts
+
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    ext = extract_triples(
+        orders_transcripts(spark, sf_dir, with_errors=True)
+    ).cache()
+    # every order yields its 6 triples even when its doc has a bad stmt
+    assert triples(ext).count() == 6 * n_orders
+    bad_convs = errors(ext).select("conv_id").distinct().count()
+    n_bad = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).count()
+    assert bad_convs == n_bad
+    ext.unpersist()
+
+
+def test_skolem_determinism_across_runs(spark, sf_dir):
+    """Re-running extraction yields byte-identical skolem labels
+    (content-hash, not counter/partition-dependent) — the task-retry
+    stability requirement."""
+    from kgt.spark.parse import extract_triples, triples
+    from kgt.spark.transcripts import customer_bnode_transcripts
+
+    def run(parts):
+        tx = customer_bnode_transcripts(spark, sf_dir).repartition(parts)
+        rows = (
+            triples(extract_triples(tx))
+            .orderBy("conv_id", "stmt_idx")
+            .collect()
+        )
+        return [(r["conv_id"], r["stmt_idx"], r["subj"], r["obj"]) for r in rows]
+
+    assert run(2) == run(7)
+
+
+def test_grammar_corpus_parses_clean(spark):
+    from kgt.spark.parse import errors, extract_triples, triples
+    from kgt.spark.transcripts import grammar_corpus
+
+    ext = extract_triples(grammar_corpus(spark, 64), rdfstar=True).cache()
+    assert errors(ext).count() == 0
+    assert triples(ext).count() > 64  # every conv emits something
+    ext.unpersist()
+
+
+def test_entity_linking(spark, sf_dir):
+    from kgt.spark.link import detect_mentions, link_mentions
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir)
+    iri_dict = spark.createDataFrame(
+        [("user", "urn:agent:user"), ("turtle_emitter", "urn:tool:te")],
+        "surface string, iri string",
+    )
+    linked = link_mentions(detect_mentions(tx), iri_dict).cache()
+    assert linked.filter(
+        (F.col("kind") == "role") & (F.col("surface") == "user")
+    ).filter(F.col("iri") != "urn:agent:user").count() == 0
+    # unlinked mentions present (assistant role has no dict entry)
+    assert linked.filter(F.col("iri").isNull()).count() > 0
+    linked.unpersist()
+
+
+def test_fuzzy_link(spark):
+    from kgt.spark.link import fuzzy_link
+
+    surfaces = spark.createDataFrame(
+        [("turtle emiter",), ("assistnat",), ("zzzz",)], "surface string"
+    )
+    d = spark.createDataFrame(
+        [
+            ("turtle_emitter", "urn:tool:te"),
+            ("assistant", "urn:agent:assistant"),
+        ],
+        "surface string, iri string",
+    )
+    got = {r["surface"]: r["iri"] for r in fuzzy_link(surfaces, d, min_jaccard=0.3).collect()}
+    assert got.get("turtle emiter") == "urn:tool:te"
+    assert got.get("assistnat") == "urn:agent:assistant"
+    assert "zzzz" not in got
+
+
+def test_multimodal_stub_raises_without_fake(spark, sf_dir):
+    from kgt.textops.multimodal import decode_features, to_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    with pytest.raises(Exception):
+        decode_features(to_media(docs), fake=False).collect()
+
+
+def test_multimodal_stub_deterministic(spark, sf_dir):
+    import hashlib
+
+    from kgt.textops.multimodal import decode_features, to_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    rows = decode_features(to_media(docs), fake=True).collect()
+    src = {r["doc_id"]: r for r in docs.collect()}
+    for r in rows:
+        payload = src[r["doc_id"]]["text"].encode()
+        assert r["n_bytes"] == len(payload)
+        assert r["checksum"] == hashlib.md5(payload).hexdigest()
+
+
+def test_simhash_finds_exact_copies(spark, sf_dir):
+    from kgt.textops.dedup import simhash64, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).select(
+        "doc_id", "text"
+    )
+    copies = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    sim = simhash64(docs.unionByName(copies))
+    pairs = simhash_near_pairs(sim, max_hamming=0)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    for r in docs.collect():
+        assert (r["doc_id"], r["doc_id"] + 1000) in got
