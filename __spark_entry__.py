@@ -234,6 +234,41 @@ def _q_kg_entity_links(spark, sf_dir):
     )
 
 
+def _q_kg_streaming_writer(spark, sf_dir):
+    """O(1) streaming Turtle writer as window functions — one doc per
+    conversation (streaming_writer.rb:27-40 semantics)."""
+    from kgt.spark.parse import triples
+    from kgt.spark.write import streaming_turtle
+
+    return streaming_turtle(triples(_orders_extracted(spark, sf_dir)))
+
+
+_PNAME_PREFIXES = {
+    "p": "urn:p:",
+    "u": "urn:",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+}
+
+
+def _q_kg_pname(spark, sf_dir):
+    """Writer get_pname (longest-prefix match, writer.rb:207-246) over
+    the distinct predicates+objects of the orders graph."""
+    from kgt.spark.parse import triples
+    from kgt.spark.write import pname_terms
+
+    t = triples(_orders_extracted(spark, sf_dir))
+    terms = (
+        t.select(F.col("pred").alias("term"))
+        .unionByName(
+            t.filter(F.col("obj").startswith("<")).select(
+                F.col("obj").alias("term")
+            )
+        )
+        .distinct()
+    )
+    return pname_terms(terms, "term", _PNAME_PREFIXES)
+
+
 def _q1_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
@@ -390,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_separators": _q_kg_stream_separators,
         "kg_refcounts": _q_kg_refcounts,
         "kg_entity_links": _q_kg_entity_links,
+        "kg_streaming_writer": _q_kg_streaming_writer,
+        "kg_pname": _q_kg_pname,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "events_sessionize": _q_events_sessionize,
@@ -451,6 +488,49 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'urn:agent:assistant', c * 2 FROM n
         UNION ALL SELECT 'urn:agent:tool', c * 2 FROM n
         UNION ALL SELECT 'urn:tool:turtle_emitter', c * 2 FROM n
+    """
+
+    sqls["kg_streaming_writer"] = f"""
+        WITH t AS ({_ORDERS_TRIPLES_SQL}),
+        f AS (
+          SELECT conv_id, stmt_idx,
+            CASE
+              WHEN lag(subj) OVER w = subj AND lag(pred) OVER w = pred
+                THEN ',' || chr(10) || '      ' || obj
+              WHEN lag(subj) OVER w = subj
+                THEN ';' || chr(10) || '   ' || pred || ' ' || obj
+              ELSE (CASE WHEN lag(subj) OVER w IS NULL THEN ''
+                         ELSE ' .' || chr(10) END)
+                   || subj || ' ' || pred || ' ' || obj
+            END AS fragment
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY stmt_idx)
+        )
+        SELECT conv_id,
+               string_agg(fragment, '' ORDER BY stmt_idx) || ' .' AS ttl
+        FROM f GROUP BY conv_id
+    """
+
+    sqls["kg_pname"] = f"""
+        WITH t AS ({_ORDERS_TRIPLES_SQL}),
+        terms AS (
+          SELECT DISTINCT term FROM (
+            SELECT pred AS term FROM t
+            UNION ALL
+            SELECT obj AS term FROM t WHERE obj LIKE '<%'
+          )
+        ), iri AS (
+          SELECT term, substr(term, 2, length(term) - 2) AS i FROM terms
+        )
+        SELECT term,
+          CASE
+            WHEN i LIKE 'http://www.w3.org/1999/02/22-rdf-syntax-ns#%'
+              THEN 'rdf:' || substr(i, 44)
+            WHEN i LIKE 'urn:p:%' THEN 'p:' || substr(i, 7)
+            WHEN i LIKE 'urn:%' THEN 'u:' || substr(i, 5)
+            ELSE term
+          END AS pname
+        FROM iri
     """
 
     sqls["q1_pricing_summary"] = """

@@ -1,0 +1,90 @@
+"""The production entry point: transcripts → KG triple tables.
+
+Launch (cluster):
+    zip -r kgt.zip kgt
+    spark-submit --py-files kgt.zip jobs/build_graph.py \
+        --input <transcripts parquet/iceberg> --output <graph dir> \
+        --chunks 256 --rdfstar --resume
+
+Local smoke:
+    python jobs/build_graph.py --input /root/testdata/sf0.001 \
+        --synthetic-orders --output /tmp/kgt_graph
+
+Stages: stage input by conv-hash chunk → per-chunk reassemble+parse
+with lineage records (resume skips finished chunks) → materialize the
+union into the subject-hash-bucketed graph table → print metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# local runs: make the repo root importable (spark-submit ships kgt.zip
+# via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet dir (or sf dir with --synthetic-orders)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--base-uri", default="")
+    ap.add_argument("--rdfstar", action="store_true")
+    ap.add_argument("--validate", action="store_true")
+    ap.add_argument("--resume", action="store_true", help="skip staging; reuse lineage")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument(
+        "--synthetic-orders",
+        action="store_true",
+        help="derive transcripts from <input>/orders.parquet (test rig)",
+    )
+    args = ap.parse_args(argv)
+
+    from kgt.spark.lineage import metrics, read_triples, run_extraction, stage_input
+    from kgt.spark.session import get_spark
+    from kgt.spark.write import materialize_triples
+
+    spark = get_spark("kgt-build-graph", cpus=args.cpus)
+    run_id = args.run_id or f"run-{int(time.time())}"
+
+    if args.synthetic_orders:
+        from kgt.spark.transcripts import orders_transcripts
+
+        transcripts = orders_transcripts(spark, args.input, with_errors=True)
+    else:
+        transcripts = spark.read.parquet(args.input)
+
+    if not args.resume:
+        stage_input(transcripts, args.output, args.chunks)
+
+    stats = run_extraction(
+        spark,
+        args.output,
+        run_id,
+        n_chunks=args.chunks,
+        parse_options={
+            "base_uri": args.base_uri,
+            "rdfstar": args.rdfstar,
+            "validate": args.validate,
+        },
+    )
+    print(f"extraction: {stats}", file=sys.stderr)
+
+    triples = read_triples(spark, args.output)
+    materialize_triples(
+        triples, f"{args.output}/graph", n_buckets=args.n_buckets
+    )
+    metrics(spark, args.output).orderBy("chunk").show(200, truncate=False)
+    n = spark.read.parquet(f"{args.output}/graph").count()
+    print(f"graph rows: {n}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Checkpoint/resume: lineage records, crash injection, idempotent rerun."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "graph_out")
+
+
+def _stage(spark, sf_dir, out_dir, n_chunks=4):
+    from kgt.spark.lineage import stage_input
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir, with_errors=True)
+    stage_input(tx, out_dir, n_chunks)
+    return tx
+
+
+def test_full_run_and_metrics(spark, sf_dir, out_dir):
+    from kgt.spark.lineage import metrics, read_triples, run_extraction
+
+    _stage(spark, sf_dir, out_dir)
+    stats = run_extraction(spark, out_dir, "r1", n_chunks=4)
+    assert stats["chunks_run"] == 4
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert read_triples(spark, out_dir).count() == 6 * n_orders
+    m = metrics(spark, out_dir)
+    assert m.count() == 4
+    assert m.filter(F.col("status") == "done").count() == 4
+    assert m.agg(F.sum("n_triples")).first()[0] == 6 * n_orders
+
+
+def test_crash_resume_idempotent(spark, sf_dir, out_dir):
+    from kgt.spark.lineage import (
+        completed_chunks,
+        metrics,
+        read_triples,
+        run_extraction,
+    )
+
+    _stage(spark, sf_dir, out_dir)
+    # crash after chunk 2's outputs, before its lineage record
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(spark, out_dir, "r1", n_chunks=4, fail_on_chunk=2)
+    assert completed_chunks(spark, out_dir) == {0, 1, 2} - {2}
+    # resume: chunks 2 and 3 rerun; chunk 2's outputs overwritten
+    stats = run_extraction(spark, out_dir, "r2", n_chunks=4)
+    assert stats["chunks_run"] == 2
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert read_triples(spark, out_dir).count() == 6 * n_orders
+    # no duplicate triples from the rerun (content-hash determinism)
+    t = read_triples(spark, out_dir)
+    assert t.count() == t.dropDuplicates(["conv_id", "stmt_idx"]).count()
+    # lineage mixes both run_ids
+    runs = {r["run_id"] for r in metrics(spark, out_dir).collect()}
+    assert runs == {"r1", "r2"}
+
+
+def test_materialize_bucketed(spark, sf_dir, out_dir, tmp_path):
+    from kgt.spark.lineage import read_triples, run_extraction
+    from kgt.spark.write import materialize_triples
+
+    _stage(spark, sf_dir, out_dir)
+    run_extraction(spark, out_dir, "r1", n_chunks=4)
+    gpath = str(tmp_path / "graph")
+    materialize_triples(read_triples(spark, out_dir), gpath, n_buckets=8)
+    g = spark.read.parquet(gpath)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert g.count() == 6 * n_orders
+    assert "subj_bucket" in g.columns
+    # same subject always lands in the same bucket
+    assert (
+        g.groupBy("subj")
+        .agg(F.countDistinct("subj_bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+        == 0
+    )
