@@ -269,6 +269,37 @@ def _q_kg_pname(spark, sf_dir):
     return pname_terms(terms, "term", _PNAME_PREFIXES)
 
 
+def _q_nt_fastpath(spark, sf_dir):
+    """Columnar freebase-style fast path (zero Python): N-Triples+pnames
+    docs derived from lineitem, parsed with pure Catalyst expressions
+    (kgt.spark.fastpath; template freebase_reader.rb §2.6)."""
+    from kgt.spark.fastpath import parse_fastpath
+
+    li = _read(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    doc = F.concat(
+        F.lit("@prefix li: <urn:li:> .\n@prefix p: <urn:p:> .\n"),
+        F.lit("li:"), key, F.lit(" a p:Line .\n"),
+        F.lit("li:"), key, F.lit(" p:qty "),
+        F.col("l_quantity").cast("long").cast("string"), F.lit(" .\n"),
+        F.lit("li:"), key, F.lit(' p:flag "'),
+        F.col("l_returnflag"), F.lit('" .\n'),
+        F.lit("li:"), key, F.lit(" p:part li:part_"),
+        F.col("l_partkey").cast("string"), F.lit(" .\n"),
+    )
+    docs = li.select(
+        F.concat(F.lit("n"), key).alias("conv_id"), doc.alias("text")
+    )
+    out = parse_fastpath(docs)
+    return out.filter(F.col("kind") == "T").select(
+        "conv_id", "stmt_idx", "subj", "pred", "obj"
+    )
+
+
 def _q1_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
@@ -427,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": _q_kg_entity_links,
         "kg_streaming_writer": _q_kg_streaming_writer,
         "kg_pname": _q_kg_pname,
+        "nt_fastpath": _q_nt_fastpath,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "events_sessionize": _q_events_sessionize,
@@ -531,6 +563,25 @@ def oracle_sql() -> dict[str, str]:
             ELSE term
           END AS pname
         FROM iri
+    """
+
+    sqls["nt_fastpath"] = f"""
+        WITH l AS (
+          SELECT 'n' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS conv_id,
+                 '<urn:li:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '>' AS subj,
+                 CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty,
+                 l_returnflag AS flag,
+                 CAST(l_partkey AS VARCHAR) AS pk
+          FROM lineitem
+        )
+        SELECT conv_id, 2 AS stmt_idx, subj, '<{RDF_TYPE}>' AS pred,
+               '<urn:p:Line>' AS obj FROM l
+        UNION ALL SELECT conv_id, 3, subj, '<urn:p:qty>',
+               '"' || qty || '"^^<{XSD_INT}>' FROM l
+        UNION ALL SELECT conv_id, 4, subj, '<urn:p:flag>',
+               '"' || flag || '"' FROM l
+        UNION ALL SELECT conv_id, 5, subj, '<urn:p:part>',
+               '<urn:li:part_' || pk || '>' FROM l
     """
 
     sqls["q1_pricing_summary"] = """

@@ -1,0 +1,115 @@
+"""Streaming triple extraction.
+
+The north rule requires batch with checkpoint/resume (kgt.spark.lineage)
+— these operators are the streaming-native complement for transcript
+feeds that arrive continuously:
+
+  * ``foreach_batch_extract`` — micro-batch reuse of the exact batch
+    pipeline via foreachBatch: every micro-batch is reassembled, parsed
+    and appended. Correct when a conversation's turns land in one
+    micro-batch (bulk backfills, availableNow runs over complete files).
+
+  * ``stateful_extract`` — a custom stateful operator
+    (applyInPandasWithState): turns buffer in per-conversation state
+    until the conversation goes quiet for ``gap_seconds`` (processing-
+    time timeout), then the buffered document parses and its triples
+    emit. Correct for out-of-order, multi-batch conversations; state is
+    bounded by active conversations only.
+
+Both write the same T/E row shape as kgt.spark.parse.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kgt.spark.parse import TRIPLES_SCHEMA, parse_documents
+from kgt.turtle.batch import parse_batch
+
+STATE_SCHEMA = "turn_idx array<int>, text array<string>"
+
+
+def foreach_batch_extract(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    parse_options: dict | None = None,
+    trigger_available_now: bool = True,
+):
+    """readStream transcripts → per-micro-batch extraction → parquet
+    append. Returns the started StreamingQuery."""
+    opts = dict(parse_options or {})
+
+    def process(batch_df: DataFrame, epoch_id: int):
+        from kgt.spark.parse import extract_triples
+
+        extract_triples(batch_df, **opts).write.mode("append").parquet(
+            f"{out_dir}/stream_triples"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _stateful_fn(parse_options: dict, gap_seconds: int):
+    def fn(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idx, texts = state.get
+            state.remove()
+            ordered = [t for _, t in sorted(zip(turn_idx, texts))]
+            cols = parse_batch([conv_id], ["\n".join(ordered)], **parse_options)
+            yield pd.DataFrame(cols)
+            return
+        new_idx: list = []
+        new_txt: list = []
+        for pdf in pdf_iter:
+            new_idx.extend(int(i) for i in pdf["turn_idx"])
+            new_txt.extend("" if t is None else t for t in pdf["text"])
+        if state.exists:
+            old_idx, old_txt = state.get
+            new_idx = list(old_idx) + new_idx
+            new_txt = list(old_txt) + new_txt
+        state.update((new_idx, new_txt))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        return
+        yield  # pragma: no cover — make fn a generator on all paths
+
+    return fn
+
+
+def stateful_extract(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 60,
+    parse_options: dict | None = None,
+):
+    """Custom stateful operator: conversations buffer until quiet for
+    ``gap_seconds``, then parse+emit (applyInPandasWithState, processing-
+    time timeout). Returns the started StreamingQuery."""
+    opts = dict(parse_options or {})
+    out = (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            _stateful_fn(opts, gap_seconds),
+            outputStructType=TRIPLES_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", f"{out_dir}/stream_triples")
+        .start()
+    )
