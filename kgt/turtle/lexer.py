@@ -100,101 +100,112 @@ class LexerError(Exception):
         self.lineno = lineno
 
 
-class Lexer:
-    """Pull lexer with 1-token lookahead over a whole in-memory document.
+ERR = "*ERR*"
 
-    The reference reads incrementally (partial_regexp, reader.rb:22-23);
-    with Arrow batches the whole document is already in memory per row,
-    so this lexer is a straight scan.
+
+def tokenize(text: str) -> list:
+    """Lex a whole document in one pass → list of (type, value, lineno).
+
+    Illegal input produces ONE (ERR, snippet, lineno) marker per illegal
+    run (the reference lexer raises once, then `recover` discards input
+    until something lexes — reader.rb:580-581); lexing then resumes at
+    the next scannable position. Pre-lexing the whole document beats a
+    pull lexer ~2× in Python: one tight loop, no lookahead caching, no
+    exception plumbing per token — and Arrow batches hold whole
+    documents anyway (the reference's incremental partial_regexp IO is
+    moot here).
     """
-
-    __slots__ = ("text", "pos", "lineno", "_tok", "_n")
-
-    def __init__(self, text: str):
-        self.text = text
-        self.pos = 0
-        self.lineno = 1
-        self._tok = None  # cached lookahead token or None
-        self._n = len(text)
-
-    def _advance_ws(self) -> None:
-        m = _WS.match(self.text, self.pos)
+    toks = []
+    append = toks.append
+    scan = _SCANNER.match
+    ws = _WS.match
+    pos, lineno, n = 0, 1, len(text)
+    while pos < n:
+        m = ws(text, pos)
         if m is not None:
             seg = m.group(0)
-            self.lineno += seg.count("\n")
-            self.pos = m.end()
-
-    def first(self):
-        """Peek the next token; raises LexerError on illegal input.
-
-        Returns None at EOF.
-        """
-        if self._tok is not None:
-            return self._tok
-        self._advance_ws()
-        if self.pos >= self._n:
-            return None
-        m = _SCANNER.match(self.text, self.pos)
+            lineno += seg.count("\n")
+            pos = m.end()
+            if pos >= n:
+                break
+        m = scan(text, pos)
         if m is None:
-            raise LexerError(
-                f"invalid token at {self.text[self.pos:self.pos + 10]!r}",
-                self.pos,
-                self.lineno,
-            )
+            append((ERR, text[pos : pos + 10], lineno))
+            # discard: one char, then forward until something lexes
+            if text[pos] == "\n":
+                lineno += 1
+            pos += 1
+            while pos < n:
+                m2 = ws(text, pos)
+                if m2 is not None:
+                    seg = m2.group(0)
+                    lineno += seg.count("\n")
+                    pos = m2.end()
+                    continue
+                if scan(text, pos) is not None:
+                    break
+                if text[pos] == "\n":
+                    lineno += 1
+                pos += 1
+            continue
         ttype = m.lastgroup
         value = m.group(0)
-        lineno = self.lineno
-        if ttype in _UNESCAPE_TYPES:
-            value = unescape(value)
         if ttype == "PUNCT":
-            ttype = None  # string terminals carry type nil in the reference
-        tok = (ttype, value, lineno, m.end())
-        self._tok = tok
+            append((None, value, lineno))
+        elif ttype in _UNESCAPE_TYPES:
+            append((ttype, unescape(value), lineno))
+        else:
+            append((ttype, value, lineno))
+        if "\n" in value:
+            lineno += value.count("\n")
+        pos = m.end()
+    return toks
+
+
+class TokenStream:
+    """Index cursor over a pre-lexed token list, with the same
+    first/shift/recover contract the parser's recovery machinery uses:
+    first() RAISES LexerError on an ERR marker; recover() steps past it.
+    """
+
+    __slots__ = ("toks", "i", "n")
+
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.n = len(self.toks)
+
+    def first(self):
+        if self.i >= self.n:
+            return None
+        tok = self.toks[self.i]
+        if tok[0] is ERR:
+            raise LexerError(
+                f"invalid token at {tok[1]!r}", self.i, tok[2]
+            )
         return tok
 
     def shift(self):
-        """Consume and return the next token (None at EOF)."""
         tok = self.first()
-        if tok is None:
-            return None
-        self._tok = None
-        raw = self.text[self.pos : tok[3]]
-        self.lineno += raw.count("\n")
-        self.pos = tok[3]
+        if tok is not None:
+            self.i += 1
         return tok
 
     def recover(self) -> None:
-        """Skip one char after an illegal token, then scan forward until
-        the scanner matches again (reference lexer.recover behavior:
-        discard input until something lexes)."""
-        self._tok = None
-        if self.pos < self._n and self.text[self.pos] == "\n":
-            self.lineno += 1
-        self.pos += 1
-        while self.pos < self._n:
-            m = _WS.match(self.text, self.pos)
-            if m is not None:
-                seg = m.group(0)
-                self.lineno += seg.count("\n")
-                self.pos = m.end()
-                continue
-            if _SCANNER.match(self.text, self.pos) is not None:
-                return
-            if self.text[self.pos] == "\n":
-                self.lineno += 1
-            self.pos += 1
+        if self.i < self.n and self.toks[self.i][0] is ERR:
+            self.i += 1
+
+    @property
+    def at_end(self) -> bool:
+        return self.i >= self.n
+
+    @property
+    def lineno(self) -> int:
+        if self.i < self.n:
+            return self.toks[self.i][2]
+        return self.toks[-1][2] if self.toks else 1
 
 
 def tokens(text: str):
-    """Eagerly lex a document; skips illegal chars. Test/debug helper."""
-    lx = Lexer(text)
-    out = []
-    while True:
-        try:
-            tok = lx.shift()
-        except LexerError:
-            lx.recover()
-            continue
-        if tok is None:
-            return out
-        out.append((tok[0], tok[1], tok[2]))
+    """Eagerly lex a document; skips illegal runs. Test/debug helper."""
+    return [t for t in tokenize(text) if t[0] is not ERR]

@@ -32,7 +32,7 @@ checks needed; SURVEY §7.3.2 deviation note).
 from __future__ import annotations
 
 from kgt.turtle import uri as urilib
-from kgt.turtle.lexer import Lexer, LexerError
+from kgt.turtle.lexer import LexerError, TokenStream
 from kgt.turtle import terms as tm
 from kgt.turtle.terms import (
     RDF_FIRST,
@@ -98,7 +98,10 @@ class TurtleParser:
         errors: list of (lineno, production, message).
         Raises ParseError in validate mode if any error was logged.
         """
-        self.lexer = Lexer(text)
+        self.lexer = TokenStream(text)
+        # hot-path: skip the _first/_shift indirection (bound methods)
+        self._first = self.lexer.first
+        self._shift = self.lexer.shift
         self.prefixes = dict(self.initial_prefixes)
         self.base = self.base_uri
         self.statements = []
@@ -134,19 +137,20 @@ class TurtleParser:
         self.recovering = True
         raise _SyntaxErr(message)
 
-    def _first(self):
+    def _first(self):  # shadowed by a bound TokenStream.first in parse()
         return self.lexer.first()
 
-    def _shift(self):
+    def _shift(self):  # shadowed by a bound TokenStream.shift in parse()
         return self.lexer.shift()
 
     @staticmethod
     def _tok_is(tok, value) -> bool:
         """Match a token against a string terminal (case-insensitive value,
         like EBNF token matching — this is what makes 'A' ≡ 'a')."""
-        return tok is not None and (
-            tok[0] == value or tok[1].lower() == value.lower()
-        )
+        if tok is None:
+            return False
+        v = tok[1]
+        return v == value or tok[0] == value or v.lower() == value.lower()
 
     def _prod(self, production: str, recover_to, fn):
         """Production wrapper with follow-set recovery (reader.rb:566-618)."""
@@ -164,7 +168,7 @@ class TurtleParser:
             except LexerError:
                 self.lexer.recover()
                 tok = None
-            if tok is None and self.lexer.pos >= len(self.lexer.text):
+            if tok is None and self.lexer.at_end:
                 raise _EOFInRecovery("end of input while recovering")
             # union of stacked follow sets
             follows = [t for rt in self._prod_stack for t in rt]
