@@ -345,6 +345,117 @@ def _q3_top_orders(spark, sf_dir):
     return rev
 
 
+def _q_kg_canonicalize(spark, sf_dir):
+    """Opt-in canonicalization (reader.rb canonicalize matrix): messy
+    lexicals ('+0'-padded integers, upper-case lang tags) parse to
+    canonical forms. Docs built inline from orders; oracle constructs
+    the canonical triples directly."""
+    from kgt.spark.parse import parse_documents
+
+    orders = _read(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    doc = F.concat(
+        F.lit("@prefix p: <urn:p:> .\n<urn:ord:"),
+        key,
+        F.lit("> p:total +0"),
+        F.floor("o_totalprice").cast("long").cast("string"),
+        F.lit(' ; p:prio "'),
+        F.col("o_orderpriority"),
+        F.lit('"@EN .\n'),
+    )
+    docs = orders.select(
+        F.concat(F.lit("k"), key).alias("conv_id"), doc.alias("text")
+    )
+    out = parse_documents(docs, canonicalize=True)
+    return out.filter(F.col("kind") == "T").select(
+        "conv_id", "stmt_idx", "subj", "pred", "obj"
+    )
+
+
+def _q_kg_pretty_writer(spark, sf_dir):
+    """Reference pretty writer per conversation (applyInPandas):
+    round-trip pinned in tests; rows-only here (text formatting isn't
+    reasonably SQL-expressible)."""
+    from kgt.spark.parse import triples
+    from kgt.spark.write import pretty_turtle
+
+    t = triples(_bnodes_extracted(spark, sf_dir))
+    return pretty_turtle(t, prefixes={"p": "urn:p:", "c": "urn:cust:"})
+
+
+def _q5_region_revenue(spark, sf_dir):
+    """5-table star join: broadcast the dimension chain, shuffle only
+    the fact tables."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == dims.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_supplier_topk_per_nation(spark, sf_dir):
+    """Top-3 suppliers by account balance per nation (window top-k)."""
+    sup = _read(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("bal_cents").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        sup.withColumn(
+            "bal_cents", F.round(F.col("s_acctbal") * 100).cast("long")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("s_nationkey", "s_suppkey", "bal_cents", "rank")
+    )
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the event stream (the
+    batch shape of the streaming windowed agg)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+def _q_part_projection(spark, sf_dir):
+    """Filter+projection pushdown demo over part (plan check: scan reads
+    only 2 columns and carries PushedFilters)."""
+    part = _read(spark, sf_dir, "part")
+    cols = part.columns
+    size_col = "p_size" if "p_size" in cols else cols[-1]
+    return (
+        part.select("p_partkey", F.col(size_col).alias("size_attr"))
+        .filter(F.col("p_partkey") % 10 == 3)
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -462,6 +573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "events_sessionize": _q_events_sessionize,
+        "kg_canonicalize": _q_kg_canonicalize,
+        "kg_pretty_writer": _q_kg_pretty_writer,
+        "q5_region_revenue": _q5_region_revenue,
+        "q_supplier_topk_per_nation": _q_supplier_topk_per_nation,
+        "q_events_windowed": _q_events_windowed,
+        "q_part_projection": _q_part_projection,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -478,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+    _norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
     sqls["kg_triples_orders"] = _ORDERS_TRIPLES_SQL
 
@@ -608,6 +726,75 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
 
+    sqls["kg_canonicalize"] = """
+        SELECT 'k' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+               0 AS stmt_idx,
+               '<urn:ord:' || CAST(o_orderkey AS VARCHAR) || '>' AS subj,
+               '<urn:p:total>' AS pred,
+               '"' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+                   || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj
+        FROM orders
+        UNION ALL
+        SELECT 'k' || CAST(o_orderkey AS VARCHAR), 1,
+               '<urn:ord:' || CAST(o_orderkey AS VARCHAR) || '>',
+               '<urn:p:prio>',
+               '"' || o_orderpriority || '"@en'
+        FROM orders
+    """
+
+    sqls["q5_region_revenue"] = """
+        SELECT r_name, n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+
+    sqls["q_supplier_topk_per_nation"] = """
+        WITH s AS (
+          SELECT s_nationkey, s_suppkey,
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM supplier
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                    ORDER BY bal_cents DESC, s_suppkey ASC) AS rank
+          FROM s
+        )
+        SELECT s_nationkey, s_suppkey, bal_cents, rank FROM r WHERE rank <= 3
+    """
+
+    sqls["q_events_windowed"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    sqls["q_part_projection"] = """
+        SELECT p_partkey, p_size AS size_attr
+        FROM part WHERE p_partkey % 10 = 3
+    """
+
+    sqls["doc_fingerprint"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split({_norm}, ' ') AS words,
+                 {_norm} AS norm
+          FROM documents
+        )
+        SELECT doc_id, md5(norm) AS fp_exact,
+               CASE WHEN len(words) >= 8 THEN
+                 list_min(list_transform(generate_series(1, len(words) - 7),
+                   i -> md5(array_to_string(words[i:i+7], ' '))))
+               ELSE md5(array_to_string(words, ' ')) END AS fp_rolling_min
+        FROM w
+    """
+
     sqls["events_sessionize"] = """
         WITH g AS (
           SELECT user_id, ts, event_id,
@@ -698,7 +885,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
 
-    _norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     _occ = (
         lambda w: f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
     )

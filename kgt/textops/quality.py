@@ -106,18 +106,19 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Document fingerprint: md5 of the normalized text plus a coarse
-    64-bit rolling-hash proxy (xxhash64 of normalized 8-word windows,
-    min-combined) for shift-tolerant matching."""
+    """Document fingerprint: md5 of the normalized text plus a rolling
+    winnowing-style proxy (min md5 over normalized 8-word windows) for
+    shift-tolerant matching. md5 (not xxhash64) keeps the operator
+    SQL-oracle-reproducible; at 100 TB swap the hash, keep the wiring."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     windows = F.when(
         n >= 8,
         F.transform(
             F.sequence(F.lit(1), n - 7),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, 8))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 8))),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(normalize_text(F.col(text_col))).alias("fp_exact"),
