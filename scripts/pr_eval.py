@@ -1,0 +1,182 @@
+"""Triple precision/recall vs the reference's golden corpora.
+
+The north-rule metric is P/R ≥ 0.95 against rdf-turtle's emissions.
+The reference itself can't run here (no Ruby), so the goldens are the
+reference's OWN shipped expectations: the legacy conformance pairs
+(examples/turtle/test-NN.ttl → .out), the 306-case RFC 3986 battery
+(spec/reader_spec.rb:1216-1931), and the recovery goldens
+(spec/reader_spec.rb:1143-1205). Each document rides through the FULL
+Spark pipeline (transcript turns → window reassembly → Arrow-batched
+parse), not a parser shortcut.
+
+Per-document comparison is set-based after first-occurrence bnode
+canonicalization (the deterministic-label equivalent of the suite's
+isomorphism check; adequate for these tree-shaped goldens) and the
+same value-equality normalizations the reference's equivalence check
+applies (numeric literal value equality, \\uXXXX decoding).
+
+Writes PR_EVAL.json. Usage: python scripts/pr_eval.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.helpers import canon_bnodes, normalize_nt  # noqa: E402
+from tests.test_golden_pairs import _canon_numeric  # noqa: E402
+from kgt.turtle.lexer import unescape  # noqa: E402
+
+EXAMPLES = "/root/reference/examples/turtle"
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+)
+BASE_ROOT = "http://www.w3.org/2001/sw/DataAccess/df1/tests/"
+
+
+def _recovery_goldens():
+    # the reference's recovery matrix (spec/reader_spec.rb:1143-1205)
+    from tests.test_parser import TestRecovery
+
+    return [
+        (f"recovery:{name}", ttl, "\n".join(exp), "")
+        for name, (ttl, exp) in TestRecovery.CASES.items()
+    ]
+
+
+def corpora():
+    """[(corpus, doc_id, ttl, expected_nt, base_uri)]"""
+    docs = []
+    for ttl_path in sorted(glob.glob(f"{EXAMPLES}/test-*.ttl")):
+        out_path = ttl_path[:-4] + ".out"
+        name = os.path.basename(ttl_path)
+        if not os.path.exists(out_path) or name == "test-29.ttl":
+            continue  # test-29 pre-dates the W3C IRI grammar (see tests)
+        docs.append(
+            (
+                "legacy_pairs",
+                name,
+                open(ttl_path, encoding="utf-8").read(),
+                open(out_path, encoding="utf-8").read(),
+                BASE_ROOT + name,
+            )
+        )
+    docs.append(
+        (
+            "rfc3986_battery",
+            "battery",
+            open(f"{FIXTURES}/base_resolution.ttl").read(),
+            open(f"{FIXTURES}/base_resolution.nt").read(),
+            "",
+        )
+    )
+    for name, ttl, exp, base in _recovery_goldens():
+        docs.append(("recovery", name, ttl, exp, base))
+    return docs
+
+
+def norm_lines(lines):
+    return canon_bnodes([unescape(_canon_numeric(l)) for l in lines])
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from kgt.spark.parse import parse_documents
+    from kgt.spark.session import get_spark
+
+    spark = get_spark("pr-eval", cpus=8)
+    docs = corpora()
+
+    # ship each document through the FULL pipeline: split into turns,
+    # shuffle row order, reassemble, parse (skolem off: goldens use
+    # arbitrary labels; comparison canonicalizes)
+    rows = []
+    for corpus, doc_id, ttl, _exp, base in docs:
+        for i, line in enumerate(ttl.split("\n")):
+            rows.append((f"{corpus}|{doc_id}|{base}", i, line))
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).repartition(16, "conv_id")
+
+    from kgt.spark.parse import reassemble
+
+    docs_df = reassemble(tx)
+
+    # base differs per doc: parse each base group separately
+    out_rows = []
+    bases = {base for _, _, _, _, base in docs}
+    for base in bases:
+        part = docs_df.filter(F.col("conv_id").endswith(f"|{base}"))
+        ext = parse_documents(part, base_uri=base, skolem_salt=None)
+        out_rows.extend(
+            ext.filter(F.col("kind") == "T")
+            .select("conv_id", "subj", "pred", "obj")
+            .collect()
+        )
+
+    emitted: dict = {}
+    for r in out_rows:
+        emitted.setdefault(r["conv_id"], []).append(
+            f"{r['subj']} {r['pred']} {r['obj']} ."
+        )
+
+    report = {}
+    total_tp = total_emitted = total_expected = 0
+    worst = []
+    for corpus, doc_id, _ttl, exp, base in docs:
+        key = f"{corpus}|{doc_id}|{base}"
+        got = norm_lines(emitted.get(key, []))
+        want = norm_lines(normalize_nt(exp))
+        tp = len(got & want)
+        c = report.setdefault(
+            corpus, {"tp": 0, "emitted": 0, "expected": 0, "docs": 0}
+        )
+        c["tp"] += tp
+        c["emitted"] += len(got)
+        c["expected"] += len(want)
+        c["docs"] += 1
+        total_tp += tp
+        total_emitted += len(got)
+        total_expected += len(want)
+        if tp != len(got) or tp != len(want):
+            worst.append(
+                {
+                    "doc": key,
+                    "spurious": sorted(got - want)[:3],
+                    "missing": sorted(want - got)[:3],
+                }
+            )
+
+    for c in report.values():
+        c["precision"] = round(c["tp"] / c["emitted"], 4) if c["emitted"] else 1.0
+        c["recall"] = round(c["tp"] / c["expected"], 4) if c["expected"] else 1.0
+
+    result = {
+        "per_corpus": report,
+        "overall": {
+            "precision": round(total_tp / total_emitted, 4) if total_emitted else 1.0,
+            "recall": round(total_tp / total_expected, 4) if total_expected else 1.0,
+            "n_docs": sum(c["docs"] for c in report.values()),
+            "target": 0.95,
+        },
+        "mismatches": worst[:10],
+    }
+    print(json.dumps(result, indent=2))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PR_EVAL.json"),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
