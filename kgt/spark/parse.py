@@ -126,6 +126,20 @@ def parse_documents(
     return docs.select("conv_id", "text").mapInPandas(run, schema=TRIPLES_SCHEMA)
 
 
+def with_metrics(extracted: DataFrame, observation) -> DataFrame:
+    """Attach an observe() metric set (rows/triples/errors/quoted) to a
+    pyspark Observation; read `observation.get` after an action —
+    replaces the reference's debug-log counters with executor-side
+    accumulation (SURVEY §4: metrics via observe, not log strings)."""
+    return extracted.observe(
+        observation,
+        F.count(F.lit(1)).alias("rows"),
+        F.count_if(F.col("kind") == "T").alias("triples"),
+        F.count_if(F.col("kind") == "E").alias("errors"),
+        F.count_if(F.col("is_quoted")).alias("quoted"),
+    )
+
+
 def triples(extracted: DataFrame) -> DataFrame:
     """The statement stream: T rows with parse bookkeeping dropped."""
     return extracted.filter(F.col("kind") == "T").select(

@@ -150,9 +150,15 @@ def materialize_triples(
         .otherwise(F.lit(0))
         .cast("int"),
     )
-    (
-        salted.repartition("subj_bucket", "salt")
-        .write.mode(mode)
-        .partitionBy("subj_bucket")
-        .parquet(path)
-    )
+    out = salted.repartition("subj_bucket", "salt")
+    if path.startswith("iceberg:"):
+        # lakehouse path (cluster with Iceberg jars on the classpath):
+        # identical layout via a bucket partition transform
+        table = path[len("iceberg:") :]
+        writer = out.writeTo(table).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    out.write.mode(mode).partitionBy("subj_bucket").parquet(path)

@@ -171,11 +171,14 @@ def quoted(value: str) -> str:
     return '"' + _ESC_RE.sub(lambda m: _ESCAPES[m.group(0)], value) + '"'
 
 
-def format_literal(term, prefixes: dict[str, str] | None = None) -> str:
+def format_literal(
+    term, prefixes: dict[str, str] | None = None, literal_shorthand: bool = True
+) -> str:
     """Literal → Turtle: bare shorthand for boolean/integer/decimal/
-    double whose lexical form is in-shorthand-form (writer.rb:276-307)."""
+    double whose lexical form is in-shorthand-form (writer.rb:276-307);
+    ``literal_shorthand=False`` always quotes (writer.rb:130,279)."""
     _, lex, dt, lang, direction = term
-    if lang is None:
+    if lang is None and literal_shorthand:
         if dt == tm.XSD_BOOLEAN and lex in ("true", "false"):
             return lex
         if dt == tm.XSD_INTEGER and _INTEGER_RE.match(lex):
@@ -205,19 +208,19 @@ def format_uri(term, prefixes: dict[str, str] | None = None, base: str = "") -> 
     return f"<{iri}>"
 
 
-def format_term(term, prefixes=None, base: str = "") -> str:
+def format_term(term, prefixes=None, base: str = "", literal_shorthand: bool = True) -> str:
     k = term[0]
     if k == "I":
         return format_uri(term, prefixes, base)
     if k == "B":
         return f"_:{term[1]}"
     if k == "L":
-        return format_literal(term, prefixes)
+        return format_literal(term, prefixes, literal_shorthand)
     if k == "Q":
         return (
-            f"<< {format_term(term[1], prefixes, base)} "
-            f"{format_term(term[2], prefixes, base)} "
-            f"{format_term(term[3], prefixes, base)} >>"
+            f"<< {format_term(term[1], prefixes, base, literal_shorthand)} "
+            f"{format_term(term[2], prefixes, base, literal_shorthand)} "
+            f"{format_term(term[3], prefixes, base, literal_shorthand)} >>"
         )
     raise ValueError(f"bad term {term!r}")
 
@@ -227,16 +230,62 @@ def format_term(term, prefixes=None, base: str = "") -> str:
 # ---------------------------------------------------------------------
 
 
-def serialize_pretty(statements, prefixes=None, base: str = "") -> str:
+# standard prefixes injected by standard_prefixes: true (the reference
+# scans RDF::Vocabulary — we carry the common subset)
+STANDARD_PREFIXES = {
+    "rdf": tm.RDF_NS,
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": tm.XSD_NS,
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "dc": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+}
+
+
+def serialize_pretty(
+    statements,
+    prefixes=None,
+    base: str = "",
+    max_depth: int = 3,
+    literal_shorthand: bool = True,
+    unique_bnodes: bool = False,
+    default_namespace: str | None = None,
+    standard_prefixes: bool = False,
+) -> str:
     """Pretty-print a graph the way the reference writer does:
     @prefix header, subjects ordered (top-classes first, then by
     node-kind/ref-count), rdf:type as 'a', `;`/`,` grouping, inline
-    [...] for single-reference bnodes, (...) for well-formed lists.
+    [...] for single-reference bnodes (bounded by ``max_depth``,
+    writer.rb:179), (...) for well-formed lists. Options mirror
+    writer.rb:109-130: literal_shorthand, unique_bnodes (doc-unique
+    relabeling), default_namespace (empty-prefix binding),
+    standard_prefixes (inject the common vocab prefixes).
 
     statements: iterable of (s, p, o) term tuples.
     """
     prefixes = dict(prefixes or {})
+    if standard_prefixes:
+        for k, v in STANDARD_PREFIXES.items():
+            prefixes.setdefault(k, v)
+    if default_namespace:
+        prefixes[""] = default_namespace
     stmts = [tuple(s) for s in statements]
+
+    if unique_bnodes:
+        # doc-unique relabeling (reference to_unique_base, writer.rb:328)
+        remap: dict = {}
+
+        def uniq(t):
+            if t[0] == "B":
+                if t not in remap:
+                    remap[t] = ("B", f"u{len(remap)}b{t[1]}")
+                return remap[t]
+            if t[0] == "Q":
+                return ("Q", uniq(t[1]), uniq(t[2]), uniq(t[3]))
+            return t
+
+        stmts = [(uniq(s), uniq(p), uniq(o)) for s, p, o in stmts]
 
     # preprocess (writer.rb:408-451): ref counts + subject properties
     ref_count: dict = {}
@@ -296,11 +345,11 @@ def serialize_pretty(statements, prefixes=None, base: str = "") -> str:
             return f"({inner})"
         if t == ("I", RDF_NIL):
             return "()"
-        if is_inlineable_bnode(t) and t not in serialized:
+        if is_inlineable_bnode(t) and t not in serialized and depth < max_depth:
             serialized.add(t)
             inner = props_block(t, depth + 1)
             return f"[ {inner} ]"
-        return format_term(t, prefixes, base)
+        return format_term(t, prefixes, base, literal_shorthand)
 
     def mark_list(t):
         for node in lists[t][1]:

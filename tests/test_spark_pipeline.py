@@ -154,6 +154,63 @@ def test_multimodal_stub_deterministic(spark, sf_dir):
         assert r["checksum"] == hashlib.md5(payload).hexdigest()
 
 
+def test_observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    from kgt.spark.parse import extract_triples, with_metrics
+    from kgt.spark.transcripts import orders_transcripts
+
+    obs = Observation("kgt_extract")
+    ext = with_metrics(
+        extract_triples(orders_transcripts(spark, sf_dir, with_errors=True)),
+        obs,
+    )
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_bad = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).count()
+    ext.write.format("noop").mode("overwrite").save()  # action
+    got = obs.get
+    assert got["triples"] == 6 * n_orders
+    assert got["errors"] == n_bad
+    assert got["quoted"] == 0
+
+
+def test_pretty_turtle_spark_roundtrip(spark, sf_dir):
+    """pretty writer output re-parses to the same triple set, through
+    Spark on both legs (writer_spec.rb:760-791 analog)."""
+    from kgt.spark.parse import parse_documents, triples
+    from kgt.spark.write import pretty_turtle
+
+    t = triples(_extract_bnodes(spark, sf_dir)).cache()
+    docs = pretty_turtle(
+        t, prefixes={"p": "urn:p:", "c": "urn:cust:"}
+    ).withColumnRenamed("ttl", "text")
+    reparsed = parse_documents(docs, skolem_salt=None)
+    assert reparsed.filter(F.col("kind") == "E").count() == 0
+    from tests.helpers import canon_bnodes
+
+    def lines(df, cols=("subj", "pred", "obj")):
+        by_conv = {}
+        for r in df.collect():
+            by_conv.setdefault(r["conv_id"], []).append(
+                f"{r['subj']} {r['pred']} {r['obj']} ."
+            )
+        return {k: canon_bnodes(v) for k, v in by_conv.items()}
+
+    left = lines(t)
+    right = lines(reparsed.filter(F.col("kind") == "T"))
+    assert left == right
+    t.unpersist()
+
+
+def _extract_bnodes(spark, sf_dir):
+    from kgt.spark.parse import extract_triples
+    from kgt.spark.transcripts import customer_bnode_transcripts
+
+    return extract_triples(customer_bnode_transcripts(spark, sf_dir))
+
+
 def test_simhash_finds_exact_copies(spark, sf_dir):
     from kgt.textops.dedup import simhash64, simhash_near_pairs
 

@@ -172,3 +172,60 @@ class TestPrettyRoundTrip:
             '<tag:s> <tag:z> "v" ; a <tag:C> .'
         )
         assert out.index(" a ") < out.index("<tag:z>")
+
+
+class TestWriterOptions:
+    # writer.rb:109-130 option semantics
+    def test_literal_shorthand_off(self):
+        out = _roundtrip("<tag:s> <tag:p> 1, true .", )
+        assert " 1" in out and "true" in out
+        from kgt.turtle import TurtleParser
+        stmts, _ = TurtleParser().parse("<tag:s> <tag:p> 1, true .")
+        long = serialize_pretty(stmts, literal_shorthand=False)
+        assert '"1"^^' in long and '"true"^^' in long
+
+    def test_max_depth_limits_inlining(self):
+        ttl = '<tag:s> <tag:p> [ <tag:q> [ <tag:r> [ <tag:t> "deep" ] ] ] .'
+        deep = _roundtrip(ttl)
+        assert deep.count("[") == 3
+        from kgt.turtle import TurtleParser
+        stmts, _ = TurtleParser().parse(ttl)
+        shallow = serialize_pretty(stmts, max_depth=1)
+        # beyond depth 1, bnodes fall back to labels
+        assert shallow.count("[") < 3 and "_:" in shallow
+        # still round-trips
+        from tests.helpers import canon_bnodes, parse_nt
+        lines1 = [
+            f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} ."
+            for s, p, o in stmts
+        ]
+        assert canon_bnodes(lines1) == canon_bnodes(parse_nt(shallow))
+
+    def test_default_namespace(self):
+        from kgt.turtle import TurtleParser
+        stmts, _ = TurtleParser().parse("<http://d/s> <http://d/p> 1 .")
+        out = serialize_pretty(stmts, default_namespace="http://d/")
+        assert ":s :p 1 ." in out
+        assert "@prefix : <http://d/> ." in out
+
+    def test_standard_prefixes(self):
+        from kgt.turtle import TurtleParser
+        stmts, _ = TurtleParser().parse(
+            "<tag:s> <http://xmlns.com/foaf/0.1/name> 'x' ."
+        )
+        out = serialize_pretty(stmts, standard_prefixes=True)
+        assert "foaf:name" in out
+
+    def test_unique_bnodes(self):
+        from kgt.turtle import TurtleParser
+        stmts, _ = TurtleParser().parse(
+            "_:a <tag:p> _:a . _:b <tag:q> _:a ."
+        )
+        out = serialize_pretty(stmts, unique_bnodes=True)
+        assert "_:u0ba" in out or "u0b" in out.replace("_:", "")
+        from tests.helpers import canon_bnodes, parse_nt
+        lines1 = [
+            f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} ."
+            for s, p, o in stmts
+        ]
+        assert canon_bnodes(lines1) == canon_bnodes(parse_nt(out))
