@@ -69,6 +69,33 @@ def reassemble(transcripts: DataFrame, num_partitions: int | None = None) -> Dat
     )
 
 
+def quarantine_oversized(docs: DataFrame, max_doc_chars: int):
+    """Split docs into (within-limit, oversized-as-E-rows).
+
+    Giant conversations are the parse stage's skew/OOM risk (one doc is
+    atomic — no partitioning can split it; SURVEY §7.3 item 3). The
+    production guardrail is a size cap: over-limit docs become
+    quarantine rows instead of stalling or OOM-ing a worker.
+    """
+    ok = docs.filter(F.length("text") <= max_doc_chars)
+    bad = docs.filter(F.length("text") > max_doc_chars).select(
+        "conv_id",
+        F.lit(-1).cast("long").alias("stmt_idx"),
+        F.lit("E").alias("kind"),
+        F.lit(None).cast("string").alias("subj"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("string").alias("obj"),
+        F.lit(False).alias("is_quoted"),
+        F.lit(None).cast("int").alias("lineno"),
+        F.lit("size_cap").alias("production"),
+        F.concat(
+            F.lit("document exceeds max_doc_chars: "),
+            F.length("text").cast("string"),
+        ).alias("message"),
+    )
+    return ok, bad
+
+
 def extract_triples(
     transcripts: DataFrame,
     base_uri: str = "",
@@ -77,6 +104,7 @@ def extract_triples(
     canonicalize: bool = False,
     rdfstar: bool = False,
     skolem_salt: str | None = DEFAULT_SKOLEM_SALT,
+    max_doc_chars: int | None = None,
 ) -> DataFrame:
     """Full extraction: reassembled docs → one row per statement/error.
 
@@ -86,7 +114,10 @@ def extract_triples(
     parser, SURVEY §1.4).
     """
     docs = reassemble(transcripts)
-    return parse_documents(
+    quarantined = None
+    if max_doc_chars is not None:
+        docs, quarantined = quarantine_oversized(docs, max_doc_chars)
+    out = parse_documents(
         docs,
         base_uri=base_uri,
         prefixes=prefixes,
@@ -95,6 +126,9 @@ def extract_triples(
         rdfstar=rdfstar,
         skolem_salt=skolem_salt,
     )
+    if quarantined is not None:
+        out = out.unionByName(quarantined)
+    return out
 
 
 def parse_documents(

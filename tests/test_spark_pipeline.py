@@ -211,6 +211,54 @@ def _extract_bnodes(spark, sf_dir):
     return extract_triples(customer_bnode_transcripts(spark, sf_dir))
 
 
+def test_size_cap_quarantine(spark, sf_dir):
+    from kgt.spark.parse import errors, extract_triples, triples
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir)
+    ext = extract_triples(tx, max_doc_chars=100).cache()
+    # every orders doc exceeds 100 chars → all quarantined, none parsed
+    assert triples(ext).count() == 0
+    q = errors(ext)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert q.count() == n_orders
+    assert q.filter(F.col("production") == "size_cap").count() == n_orders
+    ext.unpersist()
+    # generous cap: nothing quarantined
+    ext2 = extract_triples(tx, max_doc_chars=10_000)
+    assert errors(ext2).filter(F.col("production") == "size_cap").count() == 0
+
+
+def test_hot_predicate_salting(spark, tmp_path):
+    """rdf:type rows spread across salts by object hash so one hot
+    predicate can't pin a writer task; other predicates stay salt 0."""
+    from kgt.spark.write import materialize_triples
+
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rows = [
+        (f"c{i}", i, f"<urn:s:{i}>", rdf_type, f"<urn:class:{i % 50}>", False)
+        for i in range(200)
+    ] + [
+        (f"c{i}", i, f"<urn:s:{i}>", "<urn:p:x>", f"<urn:o:{i}>", False)
+        for i in range(200)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, stmt_idx long, subj string, pred string, obj string, is_quoted boolean",
+    )
+    path = str(tmp_path / "salted")
+    materialize_triples(t, path, n_buckets=4, n_salts=8)
+    g = spark.read.parquet(path)
+    hot_salts = (
+        g.filter(F.col("pred") == rdf_type).select("salt").distinct().count()
+    )
+    assert hot_salts > 1  # 50 distinct classes spread over salts
+    cold_salts = (
+        g.filter(F.col("pred") != rdf_type).select("salt").distinct().collect()
+    )
+    assert [r["salt"] for r in cold_salts] == [0]
+
+
 def test_simhash_finds_exact_copies(spark, sf_dir):
     from kgt.textops.dedup import simhash64, simhash_near_pairs
 
