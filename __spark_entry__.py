@@ -234,6 +234,36 @@ def _q_kg_entity_links(spark, sf_dir):
     )
 
 
+def _q_kg_mention_triples(spark, sf_dir):
+    """Detected+linked entities materialized AS TRIPLES (the north-star
+    'entities are linked and triples are exploded' loop): distinct
+    <urn:conv:C> <urn:kg:mentions> <iri> per conversation."""
+    from kgt.spark.link import detect_mentions, link_mentions, mentions_to_triples
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir)
+    iri_dict = spark.createDataFrame(
+        [
+            ("user", "urn:agent:user"),
+            ("assistant", "urn:agent:assistant"),
+            ("tool", "urn:agent:tool"),
+            ("turtle_emitter", "urn:tool:turtle_emitter"),
+        ],
+        "surface string, iri string",
+    )
+    t = mentions_to_triples(link_mentions(detect_mentions(tx), iri_dict))
+    return t.select("conv_id", "subj", "pred", "obj").distinct()
+
+
+def _q_kg_ntriples_c14n(spark, sf_dir):
+    """Canonical N-Triples document per conversation (sorted lines —
+    the suite's C14N string-compare form)."""
+    from kgt.spark.parse import triples
+    from kgt.spark.write import canonical_ntriples
+
+    return canonical_ntriples(triples(_orders_extracted(spark, sf_dir)))
+
+
 def _q_kg_streaming_writer(spark, sf_dir):
     """O(1) streaming Turtle writer as window functions — one doc per
     conversation (streaming_writer.rb:27-40 semantics)."""
@@ -569,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": _q_kg_entity_links,
         "kg_streaming_writer": _q_kg_streaming_writer,
         "kg_pname": _q_kg_pname,
+        "kg_mention_triples": _q_kg_mention_triples,
+        "kg_ntriples_c14n": _q_kg_ntriples_c14n,
         "nt_fastpath": _q_nt_fastpath,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -638,6 +670,29 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'urn:agent:assistant', c * 2 FROM n
         UNION ALL SELECT 'urn:agent:tool', c * 2 FROM n
         UNION ALL SELECT 'urn:tool:turtle_emitter', c * 2 FROM n
+    """
+
+    sqls["kg_mention_triples"] = """
+        WITH iris AS (
+          SELECT unnest(['urn:agent:user', 'urn:agent:assistant',
+                         'urn:agent:tool', 'urn:tool:turtle_emitter']) AS iri
+        )
+        SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+               '<urn:conv:o' || CAST(o_orderkey AS VARCHAR) || '>' AS subj,
+               '<urn:kg:mentions>' AS pred,
+               '<' || iri || '>' AS obj
+        FROM orders CROSS JOIN iris
+    """
+
+    sqls["kg_ntriples_c14n"] = f"""
+        WITH t AS ({_ORDERS_TRIPLES_SQL}),
+        lines AS (
+          SELECT conv_id, subj || ' ' || pred || ' ' || obj || ' .' AS line
+          FROM t
+        )
+        SELECT conv_id,
+               string_agg(line, chr(10) ORDER BY line) AS nt
+        FROM lines GROUP BY conv_id
     """
 
     sqls["kg_streaming_writer"] = f"""

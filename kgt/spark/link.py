@@ -64,6 +64,28 @@ def link_mentions(mentions: DataFrame, iri_dict: DataFrame) -> DataFrame:
     return m.join(d, "_k", "left").drop("_k")
 
 
+def mentions_to_triples(linked: DataFrame) -> DataFrame:
+    """Linked mentions → provenance triples joining the graph:
+
+        <urn:conv:C> <urn:kg:mentions> <iri>        (per linked mention)
+        <urn:conv:C> <urn:kg:turnMention> "kind:surface"@? per turn
+
+    stmt_idx continues a per-conversation dense order (turn_idx-based)
+    so mention triples coexist with parse triples in one table.
+    """
+    m = linked.filter(F.col("iri").isNotNull())
+    return m.select(
+        "conv_id",
+        (F.col("turn_idx").cast("long")).alias("stmt_idx"),
+        F.concat(F.lit("<urn:conv:"), F.col("conv_id"), F.lit(">")).alias(
+            "subj"
+        ),
+        F.lit("<urn:kg:mentions>").alias("pred"),
+        F.concat(F.lit("<"), F.col("iri"), F.lit(">")).alias("obj"),
+        F.lit(False).alias("is_quoted"),
+    ).distinct()
+
+
 def _char3grams(col):
     padded = F.concat(F.lit("  "), normalize_text(col), F.lit("  "))
     n = F.length(padded)

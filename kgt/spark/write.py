@@ -76,6 +76,19 @@ def streaming_turtle(triples: DataFrame) -> DataFrame:
     return docs
 
 
+def canonical_ntriples(triples: DataFrame) -> DataFrame:
+    """Canonical N-Triples serialization per conversation: one sorted
+    NT document per conv_id (the C14N comparison form the reference's
+    ntriples suite string-compares — spec/ntriples_spec.rb:41-43).
+    Pure aggregate expressions."""
+    line = F.concat_ws(" ", "subj", "pred", "obj", F.lit("."))
+    return triples.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n", F.array_sort(F.collect_list(line))
+        ).alias("nt")
+    )
+
+
 def pretty_turtle(
     triples: DataFrame, prefixes: dict | None = None, base: str = ""
 ) -> DataFrame:
