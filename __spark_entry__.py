@@ -493,7 +493,8 @@ def _q_events_sessionize(spark, sf_dir):
     sess = (
         ev.withColumn(
             "new_sess",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+            # >= : session_window semantics (half-open [start, last+gap))
+            F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0),
         )
         .withColumn(
             "sess_id",
@@ -853,7 +854,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_sessionize"] = """
         WITH g AS (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

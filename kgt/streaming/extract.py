@@ -58,6 +58,38 @@ def foreach_batch_extract(
     return writer.start()
 
 
+def streaming_session_counts(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Watermarked session-window aggregation over an event stream —
+    the built-in-operator counterpart of the batch sessionize query
+    (late rows beyond the watermark drop; sessions close after `gap`).
+    Returns the started query (availableNow drains existing files)."""
+    agg = (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _stateful_fn(parse_options: dict, gap_seconds: int):
     def fn(key, pdf_iter, state: GroupState):
         (conv_id,) = key

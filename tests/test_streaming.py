@@ -50,6 +50,78 @@ def test_foreach_batch_extract(spark, input_dir, tmp_path):
     ).count() == 18
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """session_window streaming agg produces the same per-user session
+    count as the batch lag/cumsum sessionization."""
+    from kgt.streaming.extract import streaming_session_counts
+
+    events_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # file streams need a DIRECTORY source; append a far-future sentinel
+    # event per user so the watermark closes every real session (append
+    # mode only emits sessions older than the watermark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flush_ts = ev.agg(F.max("ts")).first()[0]
+
+    # one sentinel per user at a COMMON far-future time T, plus one
+    # watermark-pusher on a fake user at T+100h: the pusher advances the
+    # global watermark past every sentinel session so they all emit
+    T = F.lit(flush_ts) + F.expr("INTERVAL 100 HOURS")
+    sentinels = ev.select("user_id").distinct().select(
+        F.lit(-1).cast("long").alias("event_id"),
+        T.alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    pusher = spark.range(1).select(
+        F.lit(-2).cast("long").alias("event_id"),
+        (T + F.expr("INTERVAL 100 HOURS")).alias("ts"),
+        F.lit(-999).cast("long").alias("user_id"),
+        F.lit("pusher").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    aug = ev.unionByName(sentinels).unionByName(pusher)
+    src = str(tmp_path / "events_src")
+    aug.write.parquet(src)
+    stream = spark.readStream.schema(events_schema).parquet(src)
+    out = str(tmp_path / "sessions")
+    q = streaming_session_counts(
+        stream, str(tmp_path / "ckpt"), out, gap="30 minutes"
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != -999)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    # batch reference on the same augmented events, pusher excluded;
+    # sentinel sessions emit on BOTH sides now
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    want = (
+        aug.filter(F.col("user_id") != -999)
+        .withColumn(
+            "new_sess", F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id")
+        .agg(F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0
+
+
 def test_stateful_extract(spark, input_dir, tmp_path):
     from kgt.streaming.extract import stateful_extract
 
