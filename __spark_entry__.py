@@ -264,6 +264,51 @@ def _q_kg_ntriples_c14n(spark, sf_dir):
     return canonical_ntriples(triples(_orders_extracted(spark, sf_dir)))
 
 
+def _q_kg_rdfstar(spark, sf_dir):
+    """RDF-star annotations (reader.rb:406-460): each order's status
+    triple is annotated {| p:src "oms" |} → asserted triple + an
+    annotation triple whose subject is the quoted triple. Oracle
+    constructs both, including the << >> NT encoding."""
+    from kgt.spark.parse import parse_documents
+
+    orders = _read(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    doc = F.concat(
+        F.lit("@prefix p: <urn:p:> .\n<urn:ord:"),
+        key,
+        F.lit('> p:status "'),
+        F.col("o_orderstatus"),
+        F.lit('" {| p:src "oms" |} .\n'),
+    )
+    docs = orders.select(
+        F.concat(F.lit("s"), key).alias("conv_id"), doc.alias("text")
+    )
+    out = parse_documents(docs, rdfstar=True)
+    return out.filter(F.col("kind") == "T").select(
+        "conv_id", "stmt_idx", "subj", "pred", "obj", "is_quoted"
+    )
+
+
+def _q_kg_fuzzy_link(spark, sf_dir):
+    """MinHash-LSH fuzzy entity linking, oracle-checked end-to-end:
+    misspelled customer names (first char dropped) link back to the
+    canonical dictionary via char-3-gram minhash blocking + exact
+    Jaccard ≥ 0.5, best match per surface."""
+    from kgt.spark.link import fuzzy_link
+
+    cust = _read(spark, sf_dir, "customer")
+    surfaces = cust.select(
+        F.regexp_replace("c_name", "^.", "").alias("surface")
+    )
+    iri_dict = cust.select(
+        F.col("c_name").alias("surface"),
+        F.concat(
+            F.lit("urn:cust:"), F.col("c_custkey").cast("string")
+        ).alias("iri"),
+    )
+    return fuzzy_link(surfaces, iri_dict, n_hashes=8, min_jaccard=0.5)
+
+
 def _q_kg_streaming_writer(spark, sf_dir):
     """O(1) streaming Turtle writer as window functions — one doc per
     conversation (streaming_writer.rb:27-40 semantics)."""
@@ -602,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pname": _q_kg_pname,
         "kg_mention_triples": _q_kg_mention_triples,
         "kg_ntriples_c14n": _q_kg_ntriples_c14n,
+        "kg_rdfstar": _q_kg_rdfstar,
+        "kg_fuzzy_link": _q_kg_fuzzy_link,
         "nt_fastpath": _q_nt_fastpath,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -671,6 +718,78 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'urn:agent:assistant', c * 2 FROM n
         UNION ALL SELECT 'urn:agent:tool', c * 2 FROM n
         UNION ALL SELECT 'urn:tool:turtle_emitter', c * 2 FROM n
+    """
+
+    sqls["kg_rdfstar"] = """
+        WITH o AS (
+          SELECT 's' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+                 '<urn:ord:' || CAST(o_orderkey AS VARCHAR) || '>' AS subj,
+                 '"' || o_orderstatus || '"' AS obj
+          FROM orders
+        )
+        SELECT conv_id, 0 AS stmt_idx, subj, '<urn:p:status>' AS pred,
+               obj, FALSE AS is_quoted
+        FROM o
+        UNION ALL
+        SELECT conv_id, 1,
+               '<< ' || subj || ' <urn:p:status> ' || obj || ' >>',
+               '<urn:p:src>', '"oms"', TRUE
+        FROM o
+    """
+
+    _grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(p) - 2, 1)), i -> substr(p, i, 3)))"
+    )
+    _pad = (
+        "'  ' || trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) || '  '"
+    )
+    sqls["kg_fuzzy_link"] = f"""
+        WITH surf AS (
+          SELECT DISTINCT regexp_replace(c_name, '^.', '') AS surface FROM customer
+        ),
+        dict AS (
+          SELECT c_name AS surface,
+                 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS iri
+          FROM customer
+        ),
+        sg AS (SELECT surface, {_grams} AS grams
+               FROM (SELECT surface, {_pad} AS p FROM surf)),
+        dg AS (SELECT surface, iri, {_grams} AS grams
+               FROM (SELECT surface, iri, {_pad} AS p FROM dict)),
+        bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        ssig AS (
+          SELECT surface, band,
+                 min(md5(CAST(band AS VARCHAR) || ':' || gram)) AS mh
+          FROM (SELECT surface, unnest(grams) AS gram FROM sg)
+          CROSS JOIN bands GROUP BY surface, band
+        ),
+        dsig AS (
+          SELECT surface, iri, band,
+                 min(md5(CAST(band AS VARCHAR) || ':' || gram)) AS mh
+          FROM (SELECT surface, iri, unnest(grams) AS gram FROM dg)
+          CROSS JOIN bands GROUP BY surface, iri, band
+        ),
+        cand AS (
+          SELECT DISTINCT s.surface AS m_surface, d.surface AS d_surface, d.iri
+          FROM ssig s JOIN dsig d ON s.band = d.band AND s.mh = d.mh
+        ),
+        scored AS (
+          SELECT cand.m_surface, cand.iri,
+                 CAST(len(list_intersect(sg.grams, dg.grams)) AS DOUBLE)
+                 / (len(sg.grams) + len(dg.grams)
+                    - len(list_intersect(sg.grams, dg.grams))) AS j
+          FROM cand
+          JOIN sg ON sg.surface = cand.m_surface
+          JOIN dg ON dg.surface = cand.d_surface AND dg.iri = cand.iri
+        ),
+        best AS (
+          SELECT m_surface AS surface, iri, j,
+                 row_number() OVER (PARTITION BY m_surface
+                                    ORDER BY j DESC, iri DESC) AS rn
+          FROM scored WHERE j >= 0.5
+        )
+        SELECT surface, iri, round(j, 6) AS jaccard FROM best WHERE rn = 1
     """
 
     sqls["kg_mention_triples"] = """
