@@ -111,7 +111,20 @@ class TurtleParser:
         self._prod_stack = []
         self.recovering = False
 
+        # statement-level fast path: the overwhelmingly common token
+        # shapes (simple triples with ;/, lists, well-formed @prefix /
+        # @base) parse in a flat loop with no production machinery; ANY
+        # anomaly (bnode property lists, collections, RDF-star, bad
+        # tokens, directive-form violations) rewinds the cursor and
+        # discards the statement's buffered emissions, and the full
+        # recursive-descent path re-parses from the same position — so
+        # recovery/error semantics are byte-identical to the slow path.
+        # validate mode always takes the slow path (it wants the exact
+        # error bookkeeping).
+        use_fast = not self.validate
         while True:
+            if use_fast and self._fast_statement():
+                continue
             try:
                 if self.lexer.first() is None:
                     break
@@ -128,6 +141,202 @@ class TurtleParser:
                 f"{self.errors[:3]}"
             )
         return self.statements, self.errors
+
+    # -- statement-level fast path ---------------------------------------
+
+    def _rewind(self, i0: int, err0: int, rec0: bool) -> bool:
+        self.lexer.i = i0
+        del self.errors[err0:]
+        self.recovering = rec0
+        return False
+
+    def _fast_statement(self) -> bool:
+        """Parse ONE statement of the common token shapes in a flat
+        loop; emissions buffer until the closing '.', and any anomaly
+        rewinds everything so the production machinery re-parses the
+        exact same tokens. Returns True iff a statement was committed.
+        """
+        lx = self.lexer
+        toks = lx.toks
+        n = lx.n
+        i0 = lx.i
+        if i0 >= n:
+            return False
+        err0 = len(self.errors)
+        rec0 = self.recovering
+        t0 = toks[i0]
+        tt0 = t0[0]
+        try:
+            if tt0 == "PREFIX" or tt0 == "BASE":
+                return self._fast_directive(i0, err0, rec0)
+            if tt0 not in (
+                "IRIREF",
+                "PNAME_LN",
+                "PNAME_NS",
+                "BLANK_NODE_LABEL",
+            ):
+                return False
+
+            def term_at(i, allow_literal):
+                if i >= n:
+                    return None
+                t = toks[i]
+                tt, tv = t[0], t[1]
+                if tt == "IRIREF":
+                    return self._process_iri(tv[1:-1]), i + 1
+                if tt == "PNAME_LN" or tt == "PNAME_NS":
+                    pfx, _, sfx = tv.partition(":")
+                    return self._pname(pfx, sfx), i + 1
+                if tt == "BLANK_NODE_LABEL":
+                    return self._bnode(tv[2:]), i + 1
+                if not allow_literal:
+                    return None
+                if tt == "INTEGER":
+                    return self._literal(tv, datatype=XSD_INTEGER), i + 1
+                if tt == "DECIMAL":
+                    if tv.startswith("."):
+                        tv = "0" + tv
+                    return self._literal(tv, datatype=XSD_DECIMAL), i + 1
+                if tt == "DOUBLE":
+                    tv = re.sub(r"\.([eE])", r".0\1", tv)
+                    return self._literal(tv, datatype=XSD_DOUBLE), i + 1
+                if tt is None and (tv == "true" or tv == "false"):
+                    return self._literal(tv, datatype=XSD_BOOLEAN), i + 1
+                if tt == "STRING_LITERAL_QUOTE" or tt == "STRING_LITERAL_SINGLE_QUOTE":
+                    body = tv[1:-1]
+                elif (
+                    tt == "STRING_LITERAL_LONG_QUOTE"
+                    or tt == "STRING_LITERAL_LONG_SINGLE_QUOTE"
+                ):
+                    body = tv[3:-3]
+                else:
+                    return None
+                j = i + 1
+                if j < n:
+                    nt = toks[j]
+                    if nt[0] == "LANG_DIR":
+                        lang_dir = nt[1][1:]
+                        if "--" in lang_dir:
+                            lang, direction = lang_dir.split("--", 1)
+                        else:
+                            lang, direction = lang_dir, None
+                        return (
+                            self._literal(body, lang=lang, direction=direction),
+                            j + 1,
+                        )
+                    if nt[0] is None and nt[1] == "^^":
+                        dt = term_at(j + 1, False)
+                        if dt is None or dt[0][0] != "I":
+                            return None
+                        return self._literal(body, datatype=dt[0][1]), dt[1]
+                return self._literal(body), j
+
+            got = term_at(i0, False)
+            if got is None:
+                return self._rewind(i0, err0, rec0)
+            subject, i = got
+            buf = []
+            while True:  # predicateObjectList
+                if i >= n:
+                    return self._rewind(i0, err0, rec0)
+                vt = toks[i]
+                if vt[0] is None and (vt[1] == "a" or vt[1] == "A"):
+                    verb = RDF_TYPE
+                    i += 1
+                elif vt[0] in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+                    verb, i = term_at(i, False)
+                else:
+                    return self._rewind(i0, err0, rec0)
+                while True:  # objectList
+                    got = term_at(i, True)
+                    if got is None:
+                        return self._rewind(i0, err0, rec0)
+                    obj, i = got
+                    buf.append((subject, verb, obj))
+                    if i >= n:
+                        return self._rewind(i0, err0, rec0)
+                    st = toks[i]
+                    if st[0] is not None:
+                        return self._rewind(i0, err0, rec0)
+                    sv = st[1]
+                    if sv == ",":
+                        while i < n and toks[i][0] is None and toks[i][1] == ",":
+                            i += 1
+                        continue
+                    break
+                if sv == ".":
+                    self.statements.extend(buf)
+                    lx.i = i + 1
+                    return True
+                if sv == ";":
+                    while i < n and toks[i][0] is None and toks[i][1] == ";":
+                        i += 1
+                    if i < n and toks[i][0] is None and toks[i][1] == ".":
+                        # trailing ';' before '.'
+                        self.statements.extend(buf)
+                        lx.i = i + 1
+                        return True
+                    continue
+                return self._rewind(i0, err0, rec0)
+        except (_SyntaxErr, LexerError):
+            return self._rewind(i0, err0, rec0)
+
+    def _fast_directive(self, i0: int, err0: int, rec0: bool) -> bool:
+        """Well-formed @prefix/@base (terminated) and bare-lowercase
+        SPARQL forms commit here; every other form (case errors,
+        termination violations) rewinds for the slow path's error
+        bookkeeping."""
+        lx = self.lexer
+        toks = lx.toks
+        n = lx.n
+        t = toks[i0]
+        kw = t[1]
+        if t[0] == "PREFIX":
+            if i0 + 2 >= n:
+                return self._rewind(i0, err0, rec0)
+            p, iri = toks[i0 + 1], toks[i0 + 2]
+            if p[0] != "PNAME_NS" or iri[0] != "IRIREF":
+                return self._rewind(i0, err0, rec0)
+            j = i0 + 3
+            dot = j < n and toks[j][0] is None and toks[j][1] == "."
+            if kw == "@prefix":
+                if not dot:
+                    return self._rewind(i0, err0, rec0)
+                j += 1
+            elif kw == "prefix" or kw == "PREFIX":
+                if dot:
+                    return self._rewind(i0, err0, rec0)
+            else:
+                return self._rewind(i0, err0, rec0)
+            try:
+                self.prefixes[p[1][:-1]] = self._process_iri(iri[1][1:-1])[1]
+            except _SyntaxErr:
+                return self._rewind(i0, err0, rec0)
+            lx.i = j
+            return True
+        # BASE
+        if i0 + 1 >= n:
+            return self._rewind(i0, err0, rec0)
+        iri = toks[i0 + 1]
+        if iri[0] != "IRIREF":
+            return self._rewind(i0, err0, rec0)
+        j = i0 + 2
+        dot = j < n and toks[j][0] is None and toks[j][1] == "."
+        if kw == "@base":
+            if not dot:
+                return self._rewind(i0, err0, rec0)
+            j += 1
+        elif kw == "base" or kw == "BASE":
+            if dot:
+                return self._rewind(i0, err0, rec0)
+        else:
+            return self._rewind(i0, err0, rec0)
+        try:
+            self.base = self._process_iri(iri[1][1:-1])[1]
+        except _SyntaxErr:
+            return self._rewind(i0, err0, rec0)
+        lx.i = j
+        return True
 
     # -- infrastructure ---------------------------------------------------
 
