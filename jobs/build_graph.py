@@ -44,6 +44,14 @@ def main(argv=None):
         action="store_true",
         help="derive transcripts from <input>/orders.parquet (test rig)",
     )
+    ap.add_argument(
+        "--fastpath",
+        action="store_true",
+        help="route documents matching the regular N-Triples+pnames "
+        "subset through the zero-Python columnar parser; the rest "
+        "(multi-line strings, collections, property lists) take the "
+        "grammar path",
+    )
     args = ap.parse_args(argv)
 
     from kgt.spark.lineage import metrics, read_triples, run_extraction, stage_input
@@ -73,6 +81,7 @@ def main(argv=None):
             "rdfstar": args.rdfstar,
             "validate": args.validate,
         },
+        use_fastpath=args.fastpath,
     )
     print(f"extraction: {stats}", file=sys.stderr)
 

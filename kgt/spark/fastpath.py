@@ -67,6 +67,14 @@ def _prefix_map(lines: DataFrame) -> DataFrame:
     )
 
 
+def is_regular_doc(text_col):
+    """Conservative eligibility gate for the fast path: reject any doc
+    containing constructs the flat per-line parser can't express (long
+    strings, property lists, collections, RDF-star, ';' continuations).
+    False negatives only cost the fast path, never correctness."""
+    return ~text_col.rlike(r'"""|\'\'\'|[\[\(;]|\{\||<<')
+
+
 def parse_fastpath(docs: DataFrame) -> DataFrame:
     """docs(conv_id, text) → same T/E union schema as the grammar path
     (conv_id, stmt_idx=line_no, kind, subj, pred, obj, is_quoted, ...)."""

@@ -69,11 +69,15 @@ def run_extraction(
     n_chunks: int = 16,
     parse_options: dict | None = None,
     fail_on_chunk: int | None = None,
+    use_fastpath: bool = False,
 ) -> dict:
     """Process every pending chunk of the staged input; returns metrics.
 
-    ``fail_on_chunk`` injects a failure after that chunk's outputs but
-    before its lineage record — the crash point tests must survive.
+    ``use_fastpath`` routes documents in the regular N-Triples+pnames
+    subset through the zero-Python columnar parser; everything else
+    takes the grammar path. ``fail_on_chunk`` injects a failure after
+    that chunk's outputs but before its lineage record — the crash
+    point tests must survive.
     """
     from kgt.spark.parse import parse_documents, reassemble
 
@@ -84,7 +88,18 @@ def run_extraction(
         t0 = time.time()
         part = spark.read.parquet(f"{out_dir}/staged/chunk={chunk}")
         docs = reassemble(part)
-        ext = parse_documents(docs, **(parse_options or {})).cache()
+        if use_fastpath:
+            from kgt.spark.fastpath import is_regular_doc, parse_fastpath
+
+            regular = docs.filter(is_regular_doc(F.col("text")))
+            rest = docs.filter(~is_regular_doc(F.col("text")))
+            ext = (
+                parse_fastpath(regular)
+                .unionByName(parse_documents(rest, **(parse_options or {})))
+                .cache()
+            )
+        else:
+            ext = parse_documents(docs, **(parse_options or {})).cache()
         triples = ext.filter(F.col("kind") == "T").drop(
             "lineno", "production", "message", "kind"
         )

@@ -70,6 +70,46 @@ def test_fastpath_quarantines_garbage(spark):
     assert e.count() == 2  # garbage line + undefined prefix
 
 
+def test_freebase_sample_both_paths_agree(spark):
+    """The reference's real freebase fixture parses identically through
+    the columnar fast path and the grammar parser."""
+    from kgt.spark.fastpath import parse_fastpath
+    from kgt.spark.parse import parse_documents
+
+    sample = open(
+        "/root/reference/examples/freebase-sample.ttl", encoding="utf-8"
+    ).read()
+    docs = _docs(spark, [("fb", sample)])
+    fast = _triples_set(parse_fastpath(docs))
+    slow = _triples_set(parse_documents(docs))
+    assert fast == slow
+    assert len(fast) > 20
+
+
+def test_routing_split_matches_grammar_only(spark):
+    """The is_regular_doc routed union (fastpath + grammar) produces the
+    same triples as sending everything through the grammar parser."""
+    from kgt.spark.fastpath import is_regular_doc, parse_fastpath
+    from kgt.spark.parse import parse_documents
+
+    rows = [
+        ("r1", DOC),  # regular: fast path eligible
+        ("g1", "@prefix p: <http://x/> . p:s p:p [ p:q 1 ] ; p:r (1 2) ."),
+        ("g2", '<tag:s> <tag:p> """long\nstring""" .'),
+    ]
+    docs = _docs(spark, rows)
+    import pyspark.sql.functions as SF
+
+    regular = docs.filter(is_regular_doc(SF.col("text")))
+    rest = docs.filter(~is_regular_doc(SF.col("text")))
+    assert {r["conv_id"] for r in regular.collect()} == {"r1"}
+    routed = _triples_set(
+        parse_fastpath(regular).unionByName(parse_documents(rest))
+    )
+    all_grammar = _triples_set(parse_documents(docs))
+    assert routed == all_grammar
+
+
 def test_fastpath_pn_local_escapes(spark):
     from kgt.spark.fastpath import parse_fastpath
 
