@@ -76,6 +76,23 @@ def streaming_turtle(triples: DataFrame) -> DataFrame:
     return docs
 
 
+def materialize_bucketed_table(
+    triples: DataFrame, table: str, n_buckets: int = 16
+) -> None:
+    """Subject-bucketed MANAGED table (bucketBy + sortBy): subsequent
+    self-joins / star-joins on subj co-locate with NO exchange on either
+    side — the single biggest shuffle saving for graph traversal
+    workloads (s-s joins dominate multi-hop queries). Iceberg analogue:
+    partitionedBy(bucket(N, 'subj'))."""
+    (
+        triples.write.mode("overwrite")
+        .bucketBy(n_buckets, "subj")
+        .sortBy("subj")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def canonical_ntriples(triples: DataFrame) -> DataFrame:
     """Canonical N-Triples serialization per conversation: one sorted
     NT document per conv_id (the C14N comparison form the reference's

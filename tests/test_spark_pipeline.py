@@ -259,6 +259,36 @@ def test_hot_predicate_salting(spark, tmp_path):
     assert [r["salt"] for r in cold_salts] == [0]
 
 
+def test_bucketed_self_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Subject-bucketed table: a subj-subj self-join plans with ZERO
+    exchanges (co-located buckets) — the multi-hop graph-join saving."""
+    from kgt.spark.parse import extract_triples, triples
+    from kgt.spark.transcripts import orders_transcripts
+    from kgt.spark.write import materialize_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS kgt_test_bucketed")
+    t = triples(extract_triples(orders_transcripts(spark, sf_dir)))
+    materialize_bucketed_table(t, "kgt_test_bucketed", n_buckets=4)
+    g = spark.table("kgt_test_bucketed")
+    a = g.alias("a")
+    b = g.alias("b")
+    joined = a.join(b, F.col("a.subj") == F.col("b.subj")).filter(
+        F.col("a.pred") != F.col("b.pred")
+    )
+    # disable auto-broadcast: at real scale both sides are huge and the
+    # point is that bucketing removes the SHUFFLE from the sort-merge join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS kgt_test_bucketed")
+
+
 def test_simhash_finds_exact_copies(spark, sf_dir):
     from kgt.textops.dedup import simhash64, simhash_near_pairs
 
