@@ -535,6 +535,34 @@ def _q_part_projection(spark, sf_dir):
     )
 
 
+def _q_lineitem_pivot(spark, sf_dir):
+    """Pivot (groupBy+pivot → one column per linestatus) with exact
+    cent sums; oracle expresses the same as conditional aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F", "P"])
+        .agg(F.sum(cents))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0)).alias("o_cents"),
+        F.coalesce("F", F.lit(0)).alias("f_cents"),
+        F.coalesce("P", F.lit(0)).alias("p_cents"),
+    )
+
+
+def _q_orders_distinct_customers(spark, sf_dir):
+    """Distinct aggregation family: exact countDistinct + count per
+    order status."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -663,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_supplier_topk_per_nation": _q_supplier_topk_per_nation,
         "q_events_windowed": _q_events_windowed,
         "q_part_projection": _q_part_projection,
+        "q_lineitem_pivot": _q_lineitem_pivot,
+        "q_orders_distinct_customers": _q_orders_distinct_customers,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -972,6 +1002,24 @@ def oracle_sql() -> dict[str, str]:
                    i -> md5(array_to_string(words[i:i+7], ' '))))
                ELSE md5(array_to_string(words, ' ')) END AS fp_rolling_min
         FROM w
+    """
+
+    sqls["q_lineitem_pivot"] = """
+        SELECT l_returnflag,
+               coalesce(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS o_cents,
+               coalesce(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS f_cents,
+               coalesce(sum(CASE WHEN l_linestatus = 'P'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS p_cents
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    sqls["q_orders_distinct_customers"] = """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
     """
 
     sqls["events_sessionize"] = """
