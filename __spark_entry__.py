@@ -563,6 +563,16 @@ def _q_orders_distinct_customers(spark, sf_dir):
     )
 
 
+def _q_lineitem_cube(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) — subtotal and
+    grand-total rows with exact cent sums."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n")
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -692,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_windowed": _q_events_windowed,
         "q_part_projection": _q_part_projection,
         "q_lineitem_pivot": _q_lineitem_pivot,
+        "q_lineitem_cube": _q_lineitem_cube,
         "q_orders_distinct_customers": _q_orders_distinct_customers,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1013,6 +1024,13 @@ def oracle_sql() -> dict[str, str]:
                coalesce(sum(CASE WHEN l_linestatus = 'P'
                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS p_cents
         FROM lineitem GROUP BY l_returnflag
+    """
+
+    sqls["q_lineitem_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+               count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
     sqls["q_orders_distinct_customers"] = """
