@@ -603,23 +603,33 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
+    """Banded MinHash LSH: 32 hashes in 8 bands × 4 rows — a candidate
+    pair must agree on a whole band, so low-similarity pairs are
+    suppressed exponentially (vs r=1 banding's linear collision rate)."""
     from kgt.textops.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
     sh = shingles(_dup_corpus(spark, sf_dir))
-    return lsh_candidate_pairs(minhash_signatures(sh, n_hashes=8))
+    return lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
+    )
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from kgt.textops.dedup import ngram_jaccard_pairs, shingles
 
     sh = shingles(_dup_corpus(spark, sf_dir))
-    return ngram_jaccard_pairs(sh, threshold=0.6)
+    return ngram_jaccard_pairs(sh, threshold=0.6, max_df=1000)
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """md5-derived SimHash (two 32-bit halves) with 4×16-bit chunk
+    blocking — lossless for hamming ≤ 3 — and a bucket-size cap.
+    Fully SQL-expressible, so oracle-checked (was rows-only in r1)."""
     from kgt.textops.dedup import simhash64, simhash_near_pairs
 
-    return simhash_near_pairs(simhash64(_dup_corpus(spark, sf_dir)), max_hamming=6)
+    return simhash_near_pairs(
+        simhash64(_dup_corpus(spark, sf_dir)), max_hamming=3, bucket_cap=10000
+    )
 
 
 def _q_sim_topk(spark, sf_dir):
@@ -922,13 +932,17 @@ def oracle_sql() -> dict[str, str]:
                '<urn:li:part_' || pk || '>' FROM l
     """
 
+    # NOTE: DuckDB widens sum(BIGINT) to HUGEINT (decimal128 over Arrow,
+    # float64 over pandas) while Spark keeps LongType — every final sum
+    # below is re-cast to BIGINT so the driver's value hash sees the
+    # same type on both sides.
     sqls["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                count(*) AS count_order,
-               round(sum(CAST(l_quantity AS BIGINT)) / count(*), 4) AS avg_qty
+               round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*), 4) AS avg_qty
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -936,7 +950,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["q3_top_orders"] = """
         SELECT l_orderkey,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -964,7 +978,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["q5_region_revenue"] = """
         SELECT r_name, n_name,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -990,7 +1004,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_events_windowed"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
                count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events
         GROUP BY 1, 2
     """
@@ -1017,18 +1031,18 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["q_lineitem_pivot"] = """
         SELECT l_returnflag,
-               coalesce(sum(CASE WHEN l_linestatus = 'O'
-                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS o_cents,
-               coalesce(sum(CASE WHEN l_linestatus = 'F'
-                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS f_cents,
-               coalesce(sum(CASE WHEN l_linestatus = 'P'
-                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS p_cents
+               CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
+               CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+               CAST(coalesce(sum(CASE WHEN l_linestatus = 'P'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_cents
         FROM lineitem GROUP BY l_returnflag
     """
 
     sqls["q_lineitem_cube"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                count(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """
@@ -1053,7 +1067,8 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
           FROM g
         )
-        SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM s GROUP BY user_id
     """
 
@@ -1064,14 +1079,33 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY 1 HAVING count(*) > 1
     """
 
+    # banded MinHash: 32 hashes → 8 bands × 4 rows; band key = md5 of
+    # the band's concatenated minhashes (mirrors kgt.textops.dedup)
+    _mins = ",\n               ".join(
+        f"min(md5('h{i}:' || shingle)) AS h{i}" for i in range(32)
+    )
+    _bks = ",\n               ".join(
+        "md5(" + " || '|' || ".join(f"h{4 * b + j}" for j in range(4)) + f") AS bk{b}"
+        for b in range(8)
+    )
+    _band_union = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS minhash FROM bk" for b in range(8)
+    )
     sqls["dedup_minhash_lsh"] = f"""
         WITH corpus AS ({_DUP_CORPUS_SQL}),
         sh AS ({_SHINGLES_SQL}),
-        bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        wide AS (
+          SELECT doc_id,
+               {_mins}
+          FROM sh GROUP BY doc_id
+        ),
+        bk AS (
+          SELECT doc_id,
+               {_bks}
+          FROM wide
+        ),
         sig AS (
-          SELECT doc_id, band,
-                 min(md5('b' || CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
-          FROM sh CROSS JOIN bands GROUP BY doc_id, band
+          {_band_union}
         )
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM sig l JOIN sig r
@@ -1080,7 +1114,9 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["dedup_ngram_jaccard"] = f"""
         WITH corpus AS ({_DUP_CORPUS_SQL}),
-        sh AS ({_SHINGLES_SQL}),
+        sh0 AS ({_SHINGLES_SQL}),
+        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+        sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -1095,8 +1131,70 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
     """
 
-    # dedup_simhash: xxhash64-based — not SQL-expressible in DuckDB
-    # (rows-only check by design)
+    # SimHash: md5-derived 64-bit fingerprint as two 32-bit halves —
+    # bit-for-bit the same construction as kgt.textops.dedup.simhash64,
+    # so the op is oracle-checked (was rows-only in round 1)
+    _vote_sums = ",\n               ".join(
+        f"sum(CASE WHEN ((h_{half} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{half}_{b}"
+        for half in ("lo", "hi")
+        for b in range(32)
+    )
+    _sim_expr = {
+        half: " + ".join(
+            f"(CASE WHEN s_{half}_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+            for b in range(32)
+        )
+        for half in ("lo", "hi")
+    }
+    sqls["dedup_simhash"] = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        tok AS (
+          SELECT doc_id, unnest(list_distinct(string_split({_norm}, ' '))) AS w
+          FROM corpus
+        ),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT AS h_hi,
+                 ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_lo
+          FROM tok
+        ),
+        votes AS (
+          SELECT doc_id,
+               {_vote_sums}
+          FROM h GROUP BY doc_id
+        ),
+        sim AS (
+          SELECT doc_id,
+                 {_sim_expr["hi"]} AS sim_hi,
+                 {_sim_expr["lo"]} AS sim_lo
+          FROM votes
+        ),
+        chunks AS (
+          SELECT doc_id, sim_hi, sim_lo, 0 AS chunk_idx, sim_lo & 65535 AS chunk FROM sim
+          UNION ALL SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sim
+          UNION ALL SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sim
+          UNION ALL SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sim
+        ),
+        big AS (
+          SELECT chunk_idx, chunk FROM chunks
+          GROUP BY 1, 2 HAVING count(*) > 10000
+        ),
+        pruned AS (
+          SELECT chunks.* FROM chunks ANTI JOIN big USING (chunk_idx, chunk)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sim_hi AS a_hi, a.sim_lo AS a_lo,
+                 b.sim_hi AS b_hi, b.sim_lo AS b_lo
+          FROM pruned a JOIN pruned b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 3
+    """
 
     _cos = (
         "round(list_dot_product(a.v, b.v) / "

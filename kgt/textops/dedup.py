@@ -1,11 +1,26 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Scale design:
+Scale design (the part that matters at 100 TB):
   - exact dedup: one hash-groupBy (map-side partial agg) — no sort
-  - MinHash/LSH: shingle → per-band min-hash → band-bucket self-join;
-    candidate pairs only ever meet inside a bucket, so the join is an
-    equi-join Catalyst can shuffle-hash; buckets are tiny at any scale
-    unless data is pathological (then AQE skew-join splits them)
+  - MinHash/LSH: BANDED signatures (n_hashes = bands × rows_per_band,
+    band key = hash of the band's r concatenated minhashes). A pair
+    collides only if an ENTIRE band agrees — collision probability
+    1-(1-j^r)^b, so low-similarity pairs are suppressed exponentially
+    instead of linearly (r=1 banding over-generates candidates ~75× at
+    sf0.1 and quadratically worse at scale). The bucket self-join is an
+    equi-join on (band, band_key) that Catalyst shuffle-hashes; AQE
+    skew-join splits pathological buckets.
+  - SimHash: 64-bit fingerprint carried as two 32-bit halves (md5-derived
+    so the DuckDB oracle can reproduce it bit-for-bit), blocked on
+    4×16-bit chunks — complete for hamming ≤ 3 by pigeonhole — with a
+    bucket-size cap that quarantines degenerate buckets (near-empty or
+    boilerplate documents collapsing to the same fingerprint region)
+    instead of letting one bucket do O(n²) work.
+  - n-gram Jaccard: the shingle self-join is capped by document
+    frequency — a shingle appearing in more than max_df documents
+    (boilerplate) is excluded from the shingle UNIVERSE (both the
+    intersection and the set sizes), because one hot shingle is a
+    quadratic hot key. This is the standard stopword-removal semantics.
   - hashes are md5-derived (reproducible in SQL oracles); at 100 TB
     you'd swap in xxhash64 for speed — the wiring is identical
 """
@@ -60,32 +75,66 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
 
 
-def minhash_signatures(
-    shingle_df: DataFrame, n_hashes: int = 16
-) -> DataFrame:
-    """(doc_id, band 0..n-1, minhash) — one min-md5 per seeded band.
+def cap_shingle_df(shingle_df: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds max_df.
 
-    One shuffle: groupBy(doc_id) with n_hashes map-side min aggregates,
-    then posexplode. Seeding = md5(seed || shingle) so every band is an
-    independent permutation approximation.
+    One groupBy to find the (few, by construction) oversized shingles,
+    then a broadcast anti-join — the big shingle table is never
+    re-shuffled. This is the skew guard for every shingle self-join:
+    a boilerplate shingle shared by millions of documents would
+    otherwise be a single O(df²) hot key.
     """
+    hot = (
+        shingle_df.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return shingle_df.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, n_hashes: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, minhash) — BANDED MinHash signatures.
+
+    n_hashes independent min-md5 values per document (one shuffle:
+    groupBy(doc_id) with n_hashes map-side min aggregates), grouped into
+    bands of rows_per_band rows each; the emitted `minhash` is the md5
+    of the band's concatenated minhashes, so two documents share a
+    bucket only when ALL r rows of a band agree. Collision probability
+    for Jaccard j is 1-(1-j^r)^b — with the default b=8, r=4: j=0.9
+    collides w.p. ~0.95, j=0.3 w.p. ~0.06.
+
+    Seeding = md5('h<i>:' || shingle) so every row is an independent
+    permutation approximation (reproducible in the SQL oracle).
+    """
+    if n_hashes % rows_per_band:
+        raise ValueError("n_hashes must be a multiple of rows_per_band")
+    n_bands = n_hashes // rows_per_band
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"b{b}:"), F.col("shingle")))).alias(f"h{b}")
-        for b in range(n_hashes)
+        F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
     ]
     sig = shingle_df.groupBy("doc_id").agg(*aggs)
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            )
+        )
+        for b in range(n_bands)
+    ]
     return sig.select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"h{b}") for b in range(n_hashes)])).alias(
-            "band", "minhash"
-        ),
+        F.posexplode(F.array(*band_keys)).alias("band", "minhash"),
     )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Self-join on (band, minhash) buckets → distinct candidate pairs
-    (a < b). With one row per band this is 1-row bands ≡ LSH with
-    r=1, b=n_hashes (recall-heavy; verify with jaccard afterwards)."""
+    """Self-join on (band, band-key) buckets → distinct candidate pairs
+    (a < b). With banded signatures the bucket join is selective; verify
+    candidates with ngram_jaccard_pairs afterwards."""
     left = signatures.alias("l")
     right = signatures.alias("r")
     return (
@@ -103,14 +152,22 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    shingle_df: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+    shingle_df: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs.
 
-    Without explicit candidates, pairs sharing ≥1 shingle are considered
-    (the shingle self-join IS the blocking step — never a full cross
-    join). Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    Blocking = the shingle self-join, guarded by a document-frequency
+    cap: shingles with df > max_df (boilerplate) are removed from the
+    shingle UNIVERSE (intersection AND set sizes — standard stopword
+    semantics), because each hot shingle is an O(df²) key in the
+    self-join. Pass max_df=None to disable (only safe when `candidates`
+    restricts the pair set). Returns (doc_a, doc_b, jaccard ≥ threshold).
     """
+    if max_df is not None:
+        shingle_df = cap_shingle_df(shingle_df, max_df)
     sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
@@ -146,56 +203,98 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: per-bit majority vote of token
-    hashes. Pure column algebra: explode tokens → 64 signed bit
-    contributions from xxhash64 → sum → sign → reassemble.
+    """64-bit SimHash over word tokens, carried as two 32-bit halves.
 
-    Returns (doc_id, simhash long).
+    Per-bit majority vote of token hashes, pure column algebra:
+    explode tokens → 64 signed bit contributions → sum → sign →
+    reassemble. Token hash = md5 (first 8 hex chars → high 32 bits,
+    next 8 → low 32 bits) so the DuckDB oracle reproduces the exact
+    fingerprint; at raw-throughput scale you'd swap md5 for xxhash64.
+
+    Returns (doc_id, sim_hi, sim_lo) — each a long in [0, 2^32).
     """
     words = F.explode(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ).alias("w")
-    tok = docs.select(F.col(id_col).alias("doc_id"), words).withColumn(
-        "h", F.xxhash64("w")
+    hhex = F.md5(F.col("w"))
+    tok = docs.select(F.col(id_col).alias("doc_id"), words).select(
+        "doc_id",
+        F.conv(F.substring(hhex, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(hhex, 9, 8), 16, 10).cast("long").alias("h_lo"),
     )
-    # bit b of h: shiftright + &1 → contribution ±1
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
+    # bit b of each half: shiftright + &1 → contribution ±1
+    aggs = []
+    for half in ("h_lo", "h_hi"):
+        for b in range(32):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(half), b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"s_{half}_{b}")
+            )
     votes = tok.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+
+    def assemble(half):
+        out = None
+        for b in range(32):
+            bit = F.when(
+                F.col(f"s_{half}_{b}") > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, b)
+            out = term if out is None else out.bitwiseXOR(term)
+        return out
+
+    return votes.select(
+        "doc_id",
+        assemble("h_hi").alias("sim_hi"),
+        assemble("h_lo").alias("sim_lo"),
+    )
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, max_hamming: int = 3, bucket_cap: int = 10000
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4×16-bit chunks, cap bucket
+    sizes, then exact hamming filter.
+
+    Completeness: a pair within hamming ≤ 3 differs in at most 3 of the
+    4 chunks, so it MUST agree on ≥ 1 chunk (pigeonhole) — blocking is
+    lossless for max_hamming ≤ 3. (Asking for max_hamming > 3 with 4
+    chunks would silently lose recall, so it raises.)
+
+    Scale: chunk buckets with more than bucket_cap members are
+    quarantined (dropped from blocking) — at web scale these are
+    degenerate regions (empty/boilerplate docs collapsing to one
+    fingerprint) where one bucket would otherwise do O(cap²)+ work.
+    The cap check is one groupBy + a broadcast anti-join.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk blocking is only complete for max_hamming <= 3; "
+            "use more chunks (Manku rotations) for a wider radius"
         )
-        term = F.shiftleft(bit, b)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    return votes.select("doc_id", sim.alias("simhash"))
-
-
-def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4×16-bit chunks (a pair within
-    hamming ≤ 3 must agree on ≥1 chunk), then exact hamming filter."""
+    chunk_exprs = [
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
     chunks = sim_df.select(
         "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        "sim_hi",
+        "sim_lo",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    big = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("chunk_idx", "chunk")
+    )
+    pruned = chunks.join(F.broadcast(big), ["chunk_idx", "chunk"], "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     pairs = (
         a.join(
             b,
@@ -206,12 +305,18 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.sim_hi").alias("a_hi"),
+            F.col("a.sim_lo").alias("a_lo"),
+            F.col("b.sim_hi").alias("b_hi"),
+            F.col("b.sim_lo").alias("b_lo"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    hamming = F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

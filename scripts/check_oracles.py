@@ -19,14 +19,28 @@ sys.path.insert(0, ".")
 
 
 def norm_cell(v):
+    """Type-TAGGED normalization. The driver's hash distinguishes value
+    types (DuckDB HUGEINT arrives as Decimal/float64 via Arrow and
+    hash-mismatches Spark's LongType even when numerically equal), so
+    the local gate must be at least as strict: an int, a float, and a
+    Decimal of the same value must hash differently here."""
+    import datetime
+    import decimal
+
     if v is None:
         return "∅"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "b:" + ("true" if v else "false")
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return f"f:{repr(round(v, 9))}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
     return str(v)
 
 
@@ -76,9 +90,13 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch through Arrow, like the driver: this is what exposes
+            # DuckDB's HUGEINT widening as decimal128 instead of silently
+            # converting to Python int
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.column_names
+            odicts = tbl.to_pylist()
+            orows = [tuple(d[c] for c in ocols) for d in odicts]
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e}")
             n_fail += 1

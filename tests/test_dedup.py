@@ -1,0 +1,164 @@
+"""Dedup operator tests: banded LSH geometry, df-cap skew guard,
+SimHash blocking completeness + bucket quarantine.
+
+These pin the scale-critical behaviors the sf-level oracles can't see:
+that banding actually suppresses low-similarity candidates, that one
+boilerplate shingle can't create a quadratic hot key, and that a
+degenerate SimHash bucket is quarantined instead of self-joined.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgt.textops.dedup import (
+    cap_shingle_df,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_near_pairs,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+UNIQUE = [
+    (i, f"alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i} golf{i} hotel{i}")
+    for i in range(20)
+]
+
+
+def test_banded_lsh_exact_copies_always_collide(spark):
+    docs = _corpus(spark, UNIQUE + [(i + 100, t) for i, t in UNIQUE])
+    sh = shingles(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(sh, n_hashes=32, rows_per_band=4)
+        ).collect()
+    }
+    for i, _ in UNIQUE:
+        assert (i, i + 100) in pairs  # identical shingle sets → every band agrees
+    # documents with disjoint shingle sets must not collide
+    assert all(a % 100 == b % 100 for a, b in pairs)
+
+
+def test_banded_lsh_suppresses_low_similarity(spark):
+    # all docs share ONE shingle-window of overlap ("common ground here")
+    # but are otherwise disjoint → pairwise jaccard ≈ 1/13 — far below
+    # any dedup threshold. r=1 banding admits such pairs whenever a
+    # single minhash lands on the shared shingle; 4-row bands require 4
+    # simultaneous agreements.
+    rows = [
+        (i, f"common ground here alpha{i} bravo{i} charlie{i} delta{i} echo{i}")
+        for i in range(30)
+    ]
+    sh = shingles(_corpus(spark, rows))
+    r1 = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes=8, rows_per_band=1)
+    ).count()
+    banded = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
+    ).count()
+    assert banded < r1
+    assert banded == 0  # j≈0.08, collision prob per band ≈ j^4 ≈ 4e-5
+
+
+def test_minhash_rejects_ragged_bands():
+    with pytest.raises(ValueError):
+        minhash_signatures(None, n_hashes=10, rows_per_band=4)
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_hot_key(spark):
+    # every doc carries the same boilerplate prefix; one true near-dup
+    # pair (100, 101). With the cap, boilerplate shingles (df=22 > 10)
+    # leave the universe: unrelated docs share nothing, the true pair
+    # keeps jaccard 1.0 on its distinctive shingles.
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} alpha{i} bravo{i} charlie{i}") for i in range(20)]
+    rows += [
+        (100, f"{boiler} unique penguin waddles south quickly"),
+        (101, f"{boiler} unique penguin waddles south quickly"),
+    ]
+    sh = shingles(_corpus(spark, rows))
+    out = ngram_jaccard_pairs(sh, threshold=0.6, max_df=10)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert got == {(100, 101): 1.0}
+    # and the capped shingle table is strictly smaller
+    assert cap_shingle_df(sh, 10).count() < sh.count()
+
+
+def test_ngram_jaccard_cap_disabled_matches_reference_semantics(spark):
+    # with max_df=None the full universe is used — boilerplate-sharing
+    # docs surface with their (low) true jaccard if above threshold
+    rows = [
+        (1, "aa bb cc dd ee"),
+        (2, "aa bb cc dd ff"),  # jaccard 2/4 on 3-shingles vs doc 1
+    ]
+    sh = shingles(_corpus(spark, rows))
+    out = ngram_jaccard_pairs(sh, threshold=0.4, max_df=None).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.5
+
+
+def test_simhash_halves_are_32bit(spark):
+    sim = simhash64(_corpus(spark, UNIQUE[:5]))
+    for r in sim.collect():
+        assert 0 <= r["sim_hi"] < 2**32
+        assert 0 <= r["sim_lo"] < 2**32
+
+
+def test_simhash_blocking_complete_within_radius(spark):
+    # identical docs: hamming 0 — must always be found (every chunk agrees)
+    docs = _corpus(spark, UNIQUE + [(i + 100, t) for i, t in UNIQUE])
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(simhash64(docs), max_hamming=3).collect()
+    }
+    for i, _ in UNIQUE:
+        assert (i, i + 100, 0) in pairs
+
+
+def test_simhash_rejects_radius_beyond_blocking_guarantee():
+    with pytest.raises(ValueError):
+        simhash_near_pairs(None, max_hamming=6)
+
+
+def test_simhash_bucket_cap_quarantines_degenerate_bucket(spark):
+    # 40 identical docs collapse to one fingerprint → 4 buckets of 40;
+    # with bucket_cap=10 all are quarantined → no O(n²) pair blowup.
+    # A distinctive pair in a small bucket is still found.
+    rows = [(i, "same exact degenerate text") for i in range(40)]
+    rows += [
+        (100, "rare distinctive marsupial nocturnal burrow"),
+        (101, "rare distinctive marsupial nocturnal burrow"),
+    ]
+    sim = simhash64(_corpus(spark, rows))
+    out = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(sim, max_hamming=3, bucket_cap=10).collect()
+    }
+    assert out == {(100, 101)}
+
+
+def test_simhash_matches_duckdb_bit_construction(spark):
+    """The md5→two-32-bit-halves construction must be reproducible in
+    SQL (the oracle depends on it): recompute one doc's fingerprint in
+    pure Python and compare."""
+    import hashlib
+
+    text = "the quick brown fox jumps"
+    sim = simhash64(_corpus(spark, [(1, text)])).collect()[0]
+    votes_hi = [0] * 32
+    votes_lo = [0] * 32
+    for w in set(text.split()):
+        d = hashlib.md5(w.encode()).hexdigest()
+        h_hi, h_lo = int(d[:8], 16), int(d[8:16], 16)
+        for b in range(32):
+            votes_hi[b] += 1 if (h_hi >> b) & 1 else -1
+            votes_lo[b] += 1 if (h_lo >> b) & 1 else -1
+    exp_hi = sum(1 << b for b in range(32) if votes_hi[b] > 0)
+    exp_lo = sum(1 << b for b in range(32) if votes_lo[b] > 0)
+    assert (sim["sim_hi"], sim["sim_lo"]) == (exp_hi, exp_lo)
