@@ -162,11 +162,11 @@ _LONG_ESC_RE = re.compile(r'[\\]|"""')
 
 def quoted(value: str) -> str:
     """Pick long-quote form when the value contains \\t/\\n/\\r
-    (writer.rb:474-482), else escaped single-line quotes."""
+    (writer.rb:474-482), else escaped single-line quotes. The long form
+    escapes every backslash and every double quote, exactly like the
+    reference (writer.rb:475-478)."""
     if any(c in value for c in "\t\n\r"):
-        body = value.replace("\\", "\\\\").replace('"""', '\\"""')
-        if body.endswith('"'):
-            body = body[:-1] + '\\"'
+        body = value.replace("\\", "\\\\").replace('"', '\\"')
         return f'"""{body}"""'
     return '"' + _ESC_RE.sub(lambda m: _ESCAPES[m.group(0)], value) + '"'
 
@@ -252,172 +252,487 @@ def serialize_pretty(
     unique_bnodes: bool = False,
     default_namespace: str | None = None,
     standard_prefixes: bool = False,
+    canonicalize: bool = False,
 ) -> str:
-    """Pretty-print a graph the way the reference writer does:
-    @prefix header, subjects ordered (top-classes first, then by
-    node-kind/ref-count), rdf:type as 'a', `;`/`,` grouping, inline
-    [...] for single-reference bnodes (bounded by ``max_depth``,
-    writer.rb:179), (...) for well-formed lists. Options mirror
-    writer.rb:109-130: literal_shorthand, unique_bnodes (doc-unique
-    relabeling), default_namespace (empty-prefix binding),
-    standard_prefixes (inject the common vocab prefixes).
+    """Pretty-print a graph CHAR-IDENTICALLY to the reference writer
+    (writer.rb write_epilogue path, 174-202 + 530-668): @base/@prefix
+    header (used prefixes only, sorted), a blank line before every
+    top-level statement, properties split with ``;\\n`` + 2-space
+    indent, object lists with ``,\\n`` + 4-space indent, rdf:type as
+    'a', inline ``[...]`` for single-reference bnodes, ``(...)`` for
+    well-formed lists, ``{| ... |}`` RDF-star annotations. Options
+    mirror writer.rb:109-130.
 
     statements: iterable of (s, p, o) term tuples.
     """
-    prefixes = dict(prefixes or {})
-    if standard_prefixes:
-        for k, v in STANDARD_PREFIXES.items():
-            prefixes.setdefault(k, v)
-    if default_namespace:
-        prefixes[""] = default_namespace
-    stmts = [tuple(s) for s in statements]
+    return _PrettyWriter(
+        prefixes=prefixes,
+        base=base,
+        max_depth=max_depth,
+        literal_shorthand=literal_shorthand,
+        unique_bnodes=unique_bnodes,
+        default_namespace=default_namespace,
+        standard_prefixes=standard_prefixes,
+        canonicalize=canonicalize,
+    ).serialize(statements)
 
-    if unique_bnodes:
-        # doc-unique relabeling (reference to_unique_base, writer.rb:328)
-        remap: dict = {}
 
-        def uniq(t):
-            if t[0] == "B":
-                if t not in remap:
-                    remap[t] = ("B", f"u{len(remap)}b{t[1]}")
-                return remap[t]
-            if t[0] == "Q":
-                return ("Q", uniq(t[1]), uniq(t[2]), uniq(t[3]))
-            return t
+_RDF_FIRST_T = ("I", RDF_FIRST)
+_RDF_REST_T = ("I", RDF_REST)
+_RDF_TYPE_T = ("I", RDF_TYPE)
+_RDF_NIL_T = ("I", RDF_NIL)
 
-        stmts = [(uniq(s), uniq(p), uniq(o)) for s, p, o in stmts]
+# writer.rb:360 predicate_order: rdf:type, rdfs:label, dcterms:title
+_PREDICATE_ORDER_LIST = [
+    RDF_TYPE,
+    "http://www.w3.org/2000/01/rdf-schema#label",
+    "http://purl.org/dc/terms/title",
+]
 
-    # preprocess (writer.rb:408-451): ref counts + subject properties
-    ref_count: dict = {}
-    by_subject: dict = {}
-    for s, p, o in stmts:
-        ref_count[o] = ref_count.get(o, 0) + 1
-        by_subject.setdefault(s, []).append((p, o))
 
-    # well-formed list detection: bnode subjects with exactly
-    # rdf:first + rdf:rest, chains ending in rdf:nil, no other props
-    def list_node(t):
-        props = by_subject.get(t)
-        if t[0] != "B" or not props or len(props) != 2:
-            return None
-        d = dict(props)
-        if set(d) == {("I", RDF_FIRST), ("I", RDF_REST)}:
-            return d
-        return None
+class _PrettyWriter:
+    """Faithful port of the reference pretty-writer layout algorithm.
 
-    lists = {}  # head term -> ([values], {interior nodes})
-    # a head is a list node not referenced by any rdf:rest
-    rest_targets = {
-        o for props in by_subject.values() for p, o in props if p == ("I", RDF_REST)
-    }
-    for t in by_subject:
-        if list_node(t) and t not in rest_targets:
-            values, cur, ok, seen = [], t, True, set()
-            while cur != ("I", RDF_NIL):
-                if cur in seen:
-                    ok = False
-                    break
-                seen.add(cur)
-                d = list_node(cur)
-                if d is None:
-                    ok = False
-                    break
-                values.append(d[("I", RDF_FIRST)])
-                cur = d[("I", RDF_REST)]
-            if ok:
-                lists[t] = (values, seen)
+    Each method mirrors its writer.rb counterpart (cited inline) so the
+    emitted bytes match the reference for the same graph + options.
+    State: depth drives indent(); serialized/lists/ref_count mirror
+    @serialized/@lists/@references.
+    """
 
-    serialized = set()
+    def __init__(
+        self,
+        prefixes=None,
+        base: str = "",
+        max_depth: int = 3,
+        literal_shorthand: bool = True,
+        unique_bnodes: bool = False,
+        default_namespace: str | None = None,
+        standard_prefixes: bool = False,
+        canonicalize: bool = False,
+    ):
+        self.base = base
+        self.max_depth = max_depth
+        self.literal_shorthand = literal_shorthand
+        self.unique_bnodes = unique_bnodes
+        self.standard_prefixes = standard_prefixes
+        self.canonicalize = canonicalize
+        # candidate namespaces for get_pname matching (writer.rb:218-237)
+        self.candidates = dict(prefixes or {})
+        if standard_prefixes:
+            for k, v in STANDARD_PREFIXES.items():
+                self.candidates.setdefault(k, v)
+        if default_namespace:
+            self.candidates[""] = default_namespace
+        # like the reference, only prefixes actually used are declared
+        # (preprocess resets options[:prefixes], get_pname re-adds) —
+        # except default_namespace, declared eagerly (writer.rb:417)
+        self.used_prefixes: dict[str, str] = {}
+        if default_namespace:
+            self.used_prefixes[""] = default_namespace
+        self.uri_to_pname: dict[str, str | None] = {}
+        self.out: list[str] = []
+        self.depth = 0
 
-    def is_inlineable_bnode(t):
-        return (
-            t[0] == "B"
-            and ref_count.get(t, 0) == 1
-            and t in by_subject
-            and t not in lists
+    # -- emit helpers ---------------------------------------------------
+
+    def write(self, s: str):
+        self.out.append(s)
+
+    def indent(self, modifier: int = 0) -> str:
+        # writer.rb:456
+        return " " * (self.depth * 2 + modifier)
+
+    # -- pname / term formatting ---------------------------------------
+
+    def get_pname(self, iri: str) -> str | None:
+        """writer.rb:207-246 — longest-namespace match among candidate
+        prefixes; registers the prefix as used; validity-checked."""
+        if iri in self.uri_to_pname:
+            return self.uri_to_pname[iri]
+        best = None
+        for pfx, ns in self.candidates.items():
+            if (
+                ns
+                and iri.startswith(ns)
+                and (best is None or len(ns) > len(self.candidates[best]))
+            ):
+                best = pfx
+        out = None
+        if best is not None:
+            suffix = iri[len(self.candidates[best]) :]
+            if (best == "" or _PNAME_NS_RE.match(best)) and (
+                suffix == "" or _PN_LOCAL_RE.match(suffix)
+            ):
+                out = f"{best}:{suffix}"
+                self.used_prefixes[best] = self.candidates[best]
+        self.uri_to_pname[iri] = out
+        return out
+
+    def format_uri(self, iri: str) -> str:
+        # writer.rb:315-319: relativize against base, else pname, else <iri>
+        if self.base and iri.startswith(self.base) and len(iri) > len(self.base):
+            rel = iri[len(self.base) :]
+            if re.match(r"\A[A-Za-z0-9_\-./#?=&%]+\Z", rel):
+                return f"<{rel}>"
+        pn = self.get_pname(iri)
+        return pn if pn is not None else f"<{iri}>"
+
+    def format_term(self, t) -> str:
+        k = t[0]
+        if k == "I":
+            return "()" if t == _RDF_NIL_T else self.format_uri(t[1])
+        if k == "B":
+            return f"_:{self.bnode_label(t)}"
+        if k == "L":
+            return self.format_literal(t)
+        if k == "Q":
+            # writer.rb:337-342 format_quotedTriple: no inner padding
+            return "<<%s %s %s>>" % (
+                self.format_term(t[1]),
+                self.format_term(t[2]),
+                self.format_term(t[3]),
+            )
+        raise ValueError(f"bad term {t!r}")
+
+    # reference format_literal (writer.rb:276-307): shorthand types emit
+    # the bare value when lexically in-form and not canonicalizing, else
+    # the CANONICAL lexical (doubles with a lowercase 'e'). Validity for
+    # booleans follows RDF.rb's case-insensitive grammar.
+    _BOOL_VALID = re.compile(r"(?i)\A(?:true|false|1|0)\Z")
+    _DEC_IN_FORM = re.compile(r"\A[+-]?[0-9]+\.[0-9]+\Z")
+    _DBL_IN_FORM = re.compile(
+        r"(?i)\A[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)E[+-]?[0-9]+\Z"
+    )
+
+    def format_literal(self, t) -> str:
+        _, lex, dt, lang, direction = t
+        if lang is None and self.literal_shorthand:
+            if dt == tm.XSD_BOOLEAN and self._BOOL_VALID.match(lex):
+                if lex in ("true", "false"):
+                    return lex
+                return {"1": "true", "0": "false"}.get(lex, lex.lower())
+            if dt == tm.XSD_INTEGER and tm.literal_valid(t):
+                if _INTEGER_RE.match(lex) and not self.canonicalize:
+                    return lex
+                return tm._canonical_integer(lex)
+            if dt == tm.XSD_DECIMAL and tm.literal_valid(t):
+                if self._DEC_IN_FORM.match(lex) and not self.canonicalize:
+                    return lex
+                return tm._canonical_decimal(lex)
+            if dt == tm.XSD_DOUBLE and tm.literal_valid(t):
+                if self._DBL_IN_FORM.match(lex) and not self.canonicalize:
+                    return lex
+                return tm._canonical_double(lex).replace("E", "e")
+        body = quoted(lex)
+        if lang is not None:
+            return f"{body}@{lang}--{direction}" if direction else f"{body}@{lang}"
+        if dt is not None and dt != tm.XSD_STRING:
+            return f"{body}^^{self.format_uri(dt)}"
+        return body
+
+    def bnode_label(self, t) -> str:
+        # node.to_base vs to_unique_base (writer.rb:327-334); unique
+        # labels start with 'g' like RDF.rb's to_unique_base
+        if not self.unique_bnodes:
+            return t[1]
+        if t not in self._unique_labels:
+            self._unique_labels[t] = f"g{len(self._unique_labels)}u{t[1]}"
+        return self._unique_labels[t]
+
+    # -- preprocess (writer.rb:408-451) ---------------------------------
+
+    def _preprocess(self, statements):
+        stmts = []
+        seen_stmt = set()  # RDF::Graph dedupes on insert
+        for s, p, o in statements:
+            key = (tuple_term(s), tuple_term(p), tuple_term(o))
+            if key in seen_stmt:
+                continue
+            seen_stmt.add(key)
+            stmts.append(key)
+        self.stmts = stmts
+        self._unique_labels: dict = {}
+
+        self.ref_count: dict = {}
+        self.by_subject: dict = {}  # subject -> {pred_iri: [objects]} in order
+        self.subject_order: list = []
+        for s, p, o in stmts:
+            self.ref_count[o] = self.ref_count.get(o, 0) + 1
+            if s not in self.by_subject:
+                self.by_subject[s] = {}
+                self.subject_order.append(s)
+            self.by_subject[s].setdefault(p[1], []).append(o)
+
+        # @lists: EVERY node with a valid first/rest chain to nil
+        # (preprocess_statement writer.rb:428-451 + RDF::List#valid?)
+        def chain_ok(t, seen):
+            while t != _RDF_NIL_T:
+                if t in seen or t[0] != "B":
+                    return False
+                seen.add(t)
+                props = self.by_subject.get(t)
+                if not props:
+                    return False
+                firsts = props.get(RDF_FIRST, [])
+                rests = props.get(RDF_REST, [])
+                if len(firsts) != 1 or len(rests) != 1:
+                    return False
+                t = rests[0]
+            return True
+
+        self.lists: dict = {}
+        for s, p, o in stmts:
+            if p == _RDF_FIRST_T and s not in self.lists and chain_ok(s, set()):
+                # collect values + interior nodes
+                values, nodes, cur = [], [], s
+                while cur != _RDF_NIL_T:
+                    nodes.append(cur)
+                    props = self.by_subject[cur]
+                    values.append(props[RDF_FIRST][0])
+                    cur = props[RDF_REST][0]
+                self.lists[s] = (values, nodes)
+            if o == _RDF_NIL_T or s == _RDF_NIL_T:
+                self.lists.setdefault(_RDF_NIL_T, ([], []))
+
+        # writer.rb:190-193: a referenced list with non-list properties
+        # can't render as (...)
+        self.lists = {
+            n: v
+            for n, v in self.lists.items()
+            if not (self.ref_count.get(n, 0) > 0 and self.prop_count(n) > 0)
+        }
+
+        self.serialized: set = set()
+
+        # pre-fetch pnames so start_document knows the used prefixes
+        # (preprocess_statement writer.rb:445-450)
+        for s, p, o in stmts:
+            for t in (s, p, o):
+                if t[0] == "I":
+                    self.get_pname(t[1])
+                elif t[0] == "L" and t[2] is not None:
+                    self.get_pname(t[2])
+
+    def prop_count(self, subject) -> int:
+        # statements with this subject, excluding type/first/rest
+        # (writer.rb:494-499)
+        props = self.by_subject.get(subject, {})
+        return sum(
+            len(objs)
+            for pred, objs in props.items()
+            if pred not in (RDF_TYPE, RDF_FIRST, RDF_REST)
         )
 
-    def fmt(t, depth):
-        if t in lists:
-            vals, _nodes = lists[t]
-            inner = " ".join(fmt(v, depth + 1) for v in vals)
-            mark_list(t)
-            return f"({inner})"
-        if t == ("I", RDF_NIL):
-            return "()"
-        if is_inlineable_bnode(t) and t not in serialized and depth < max_depth:
-            serialized.add(t)
-            inner = props_block(t, depth + 1)
-            return f"[ {inner} ]"
-        return format_term(t, prefixes, base, literal_shorthand)
+    def is_done(self, subject) -> bool:
+        return subject in self.serialized
 
-    def mark_list(t):
-        for node in lists[t][1]:
-            serialized.add(node)
+    def subject_done(self, subject):
+        self.serialized.add(subject)
 
-    def props_block(subj, depth) -> str:
-        props = sorted(
-            by_subject[subj],
-            key=lambda po: (
-                _PREDICATE_ORDER.get(po[0][1], 9),
-                po[0][1],
-                tm.nt_encode(po[1]),
+    # -- ordering (writer.rb:252-270, 366-405) --------------------------
+
+    def sort_properties(self, properties: dict) -> list:
+        prop_list = [p for p in _PREDICATE_ORDER_LIST if p in properties]
+        for p in sorted(properties):
+            if p not in prop_list:
+                prop_list.append(p)
+        return prop_list
+
+    def order_subjects(self) -> list:
+        seen = set()
+        subjects = []
+        base_t = ("I", self.base) if self.base else None
+        if base_t and base_t in self.by_subject:
+            subjects.append(base_t)
+            seen.add(base_t)
+        # distinguished (top-class-typed) subjects, term-sorted
+        tops = sorted(
+            {
+                s
+                for s in self.subject_order
+                if any(
+                    o[0] == "I" and o[1] in _TOP_CLASSES
+                    for o in self.by_subject[s].get(RDF_TYPE, [])
+                )
+            },
+            key=tm.nt_encode,
+        )
+        for s in tops:
+            if s not in seen:
+                subjects.append(s)
+                seen.add(s)
+        # lists nested in other lists, and interior chain nodes, are
+        # not top-level (writer.rb:389-393 marks list-statement objects
+        # that are themselves lists — rest targets and nested heads)
+        for values, nodes in self.lists.values():
+            for v in values:
+                if v in self.lists:
+                    seen.add(v)
+            for n in nodes[1:]:
+                seen.add(n)
+        # list ELEMENTS that are bnodes aren't top-level either
+        list_elements = {
+            v
+            for values, _nodes in self.lists.values()
+            for v in values
+            if v[0] == "B"
+        }
+        kind_rank = {"I": 0, "L": 0, "Q": 1, "B": 2}
+        recursable = sorted(
+            (
+                s
+                for s in self.subject_order
+                if s not in seen and s not in list_elements
+            ),
+            key=lambda s: (
+                kind_rank.get(s[0], 0),
+                self.ref_count.get(s, 0),
+                tm.nt_encode(s),
             ),
         )
-        groups: list = []
-        for p, o in props:
-            if groups and groups[-1][0] == p:
-                groups[-1][1].append(o)
-            else:
-                groups.append((p, [o]))
-        parts = []
-        for p, objs in groups:
-            pred = "a" if p == ("I", RDF_TYPE) else format_term(p, prefixes, base)
-            objs_s = ", ".join(fmt(o, depth) for o in objs)
-            parts.append(f"{pred} {objs_s}")
-        return " ;\n  ".join(parts)
+        return subjects + recursable
 
-    # order subjects (writer.rb:366-405): top-class-typed first, then
-    # IRIs before bnodes, higher ref-count later, stable by encoding
-    def subject_key(t):
-        typed_top = any(
-            p == ("I", RDF_TYPE) and o[1] in _TOP_CLASSES
-            for p, o in by_subject[t]
-            if o[0] == "I"
-        )
+    # -- layout (writer.rb:530-668) --------------------------------------
+
+    def blank_node_property_list_p(self, resource, position) -> bool:
+        # writer.rb:485-491
         return (
-            0 if typed_top else 1,
-            0 if t[0] == "I" else 1,
-            ref_count.get(t, 0),
-            tm.nt_encode(t),
+            resource[0] == "B"
+            and resource not in self.lists
+            and (not self.is_done(resource) or position == "subject")
+            and self.ref_count.get(resource, 0)
+            == (1 if position == "object" else 0)
         )
 
-    out = []
-    if base:
-        out.append(f"@base <{base}> .")
-    for pfx in sorted(prefixes):
-        out.append(f"@prefix {pfx}: <{prefixes[pfx]}> .")
-    if out:
-        out.append("")
+    def collection(self, node, position) -> bool:
+        # writer.rb:530-553
+        if node not in self.lists:
+            return False
+        if position == "subject" and self.ref_count.get(node, 0) > 0:
+            return False
+        if position == "object" and self.prop_count(node) > 0:
+            return False
+        self.write("(")
+        self.depth += 1
+        values, nodes = self.lists[node]
+        self.subject_done(_RDF_NIL_T)
+        for index, value in enumerate(values):
+            if index > 0:
+                self.write(" ")
+            self.path(value, position)
+            position = "object"
+        for n in nodes:
+            self.subject_done(n)
+        self.depth -= 1
+        self.write(")")
+        return True
 
-    for subj in sorted(by_subject, key=subject_key):
-        if subj in serialized:
-            continue
-        # skip list interior nodes — they render inside (...)
-        if subj in rest_targets and list_node(subj):
-            continue
-        if subj in lists:
-            # a list head used as a subject: render (...) props .
-            head = fmt(subj, 0)
-            body = props_block(subj, 0)
-            out.append(f"{head} {body} .")
-            continue
-        serialized.add(subj)
-        head = format_term(subj, prefixes, base)
-        if subj[0] == "B" and ref_count.get(subj, 0) == 0:
-            body = props_block(subj, 0)
-            out.append(f"[ {body} ] .")
-            continue
-        body = props_block(subj, 0)
-        out.append(f"{head} {body} .")
-    return "\n".join(out) + "\n"
+    def blank_node_property_list(self, resource, position) -> bool:
+        # writer.rb:556-565 (+ max_depth bound on inlining in object
+        # position — documented deviation: the reference stores
+        # max_depth but never applies it; we honor it)
+        if not self.blank_node_property_list_p(resource, position):
+            return False
+        if position == "object" and self.depth >= self.max_depth:
+            return False
+        self.subject_done(resource)
+        self.write("\n" + self.indent() + " [" if position == "subject" else "[")
+        self.depth += 1
+        num_props = self.predicate_object_list(resource, True)
+        self.depth -= 1
+        self.write(
+            ("\n" + self.indent(2) if num_props > 1 else "")
+            + ("]" if position == "object" else "] .")
+        )
+        return True
+
+    def p_term(self, resource, position):
+        # writer.rb:568-576
+        self.write(self.format_term(resource))
+
+    def path(self, resource, position):
+        # writer.rb:580-591
+        if not (
+            self.collection(resource, position)
+            or self.blank_node_property_list(resource, position)
+        ):
+            self.p_term(resource, position)
+
+    def predicate(self, pred_iri: str):
+        # writer.rb:594-600
+        if pred_iri == RDF_TYPE:
+            self.write("a")
+        else:
+            self.path(("I", pred_iri), "predicate")
+
+    def object_list(self, subject, pred_iri, objects):
+        # writer.rb:604-626 (incl. RDF-star annotation blocks)
+        for i, obj in enumerate(objects):
+            if i > 0 and self.blank_node_property_list_p(obj, "object"):
+                self.write(", ")
+            elif i > 0:
+                self.write(",\n" + self.indent(4))
+            self.path(obj, "object")
+            emb = ("Q", subject, ("I", pred_iri), obj)
+            if emb in self.by_subject and not self.is_done(emb):
+                self.write(" {| ")
+                self.predicate_object_list(emb, True)
+                self.write(" |}")
+                self.subject_done(emb)
+
+    def predicate_object_list(self, subject, from_bpl: bool = False) -> int:
+        # writer.rb:629-651; returns the TOTAL property count (the
+        # reference returns properties.keys.length, pre-filtering)
+        properties = self.by_subject.get(subject, {})
+        prop_list = self.sort_properties(properties)
+        if subject in self.lists:
+            prop_list = [p for p in prop_list if p not in (RDF_FIRST, RDF_REST)]
+        if not prop_list:
+            return 0
+        if len(properties) > 1 and from_bpl:
+            self.write("\n" + self.indent(2))
+        for i, prop in enumerate(prop_list):
+            if i > 0:
+                self.write(";\n" + self.indent(2))
+            self.predicate(prop)
+            self.write(" ")
+            self.object_list(subject, prop, properties[prop])
+        return len(properties)
+
+    def triples(self, subject):
+        # writer.rb:654-660
+        self.write("\n" + self.indent())
+        self.path(subject, "subject")
+        self.write(" ")
+        num_props = self.predicate_object_list(subject)
+        self.write((" " if num_props > 0 else "") + ".")
+
+    def statement(self, subject):
+        # writer.rb:663-667
+        self.subject_done(subject)
+        if not self.blank_node_property_list(subject, "subject"):
+            self.triples(subject)
+        self.write("\n")
+
+    def start_document(self):
+        # writer.rb:344-352: @base, then used prefixes name-sorted
+        if self.base:
+            self.write(f"{self.indent()}@base <{self.base}> .\n")
+        for pfx in sorted(self.used_prefixes):
+            self.write(f"{self.indent()}@prefix {pfx}: <{self.used_prefixes[pfx]}> .\n")
+
+    def serialize(self, statements) -> str:
+        # write_epilogue (writer.rb:174-202)
+        self._preprocess(statements)
+        self.start_document()
+        for subject in self.order_subjects():
+            if not self.is_done(subject):
+                self.statement(subject)
+        return "".join(self.out)
+
+
+def tuple_term(t):
+    """Deep-tuple a term (lists from Arrow/JSON arrive as lists)."""
+    if t[0] == "Q":
+        return ("Q", tuple_term(t[1]), tuple_term(t[2]), tuple_term(t[3]))
+    return tuple(t)

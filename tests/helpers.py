@@ -29,24 +29,50 @@ _BNODE_RE = re.compile(r"_:[A-Za-z0-9_]+")
 
 
 def canon_bnodes(lines) -> set:
-    """Rename bnode labels by first occurrence (per line set, sorted for
-    determinism) so two graphs with different label schemes compare equal.
+    """Canonicalize bnode labels by iterative color refinement so two
+    graphs with different label schemes compare equal.
 
-    Adequate for tree-shaped fixtures (the reference's own goldens);
-    NOT a general isomorphism check.
+    Each bnode's color is the multiset of its incident statements with
+    itself masked as SELF and other bnodes replaced by their current
+    color; refined to fixpoint (≤ n+1 rounds). Labels are assigned in
+    final-color order. Nodes still sharing a color after refinement are
+    automorphic for all fixtures used here, so any within-class order
+    yields the same line set. (Upgraded from first-occurrence masking,
+    which mislabeled graphs where two bnodes share a masked line.)
     """
-    mapping = {}
+    import hashlib
 
-    def sub(m):
-        lbl = m.group(0)
-        if lbl not in mapping:
-            mapping[lbl] = f"_:c{len(mapping)}"
-        return mapping[lbl]
-
-    # visit lines in an order independent of label choice: sort by the
-    # bnode-masked text, so both sides assign c0, c1, ... identically
-    ordered = sorted(lines, key=lambda l: _BNODE_RE.sub("_:*", l))
-    return {_BNODE_RE.sub(sub, line) for line in ordered}
+    lines = sorted(set(lines))  # graph semantics: duplicates don't exist
+    bnodes = sorted({m for line in lines for m in _BNODE_RE.findall(line)})
+    if not bnodes:
+        return set(lines)
+    incident = {
+        b: [line for line in lines if b in _BNODE_RE.findall(line)]
+        for b in bnodes
+    }
+    colors = dict.fromkeys(bnodes, "0")
+    for _ in range(len(bnodes) + 1):
+        new = {}
+        for b in bnodes:
+            sig = sorted(
+                _BNODE_RE.sub(
+                    lambda m: "SELF" if m.group(0) == b else f"C{colors[m.group(0)]}",
+                    line,
+                )
+                for line in incident[b]
+            )
+            new[b] = hashlib.md5("|".join(sig).encode()).hexdigest()
+        if len(set(new.values())) == len(set(colors.values())):
+            colors = new
+            break
+        colors = new
+    mapping = {
+        b: f"_:c{i}"
+        for i, b in enumerate(sorted(bnodes, key=lambda b: colors[b]))
+    }
+    return {
+        _BNODE_RE.sub(lambda m: mapping[m.group(0)], line) for line in lines
+    }
 
 
 def normalize_nt(text: str) -> list[str]:

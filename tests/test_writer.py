@@ -141,8 +141,10 @@ class TestPrettyRoundTrip:
         assert "@prefix ex: <http://e/> ." in out
 
     def test_inline_bnode(self):
+        # reference object-position bNPL has no inner padding:
+        # writer.rb:561 writes '[' then the predicateObjectList directly
         out = _roundtrip('<tag:s> <tag:p> [ <tag:q> "v" ] .')
-        assert "[ " in out and " ]" in out
+        assert '[<tag:q> "v"]' in out
 
     def test_shared_bnode_not_inlined(self):
         out = _roundtrip(
@@ -222,7 +224,10 @@ class TestWriterOptions:
             "_:a <tag:p> _:a . _:b <tag:q> _:a ."
         )
         out = serialize_pretty(stmts, unique_bnodes=True)
-        assert "_:u0ba" in out or "u0b" in out.replace("_:", "")
+        # unique labels match RDF.rb's to_unique_base shape: _:g\w+
+        import re as _re
+
+        assert _re.search(r"_:g\w+", out), out
         from tests.helpers import canon_bnodes, parse_nt
         lines1 = [
             f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} ."
