@@ -79,6 +79,28 @@ def corpora():
     )
     for name, ttl, exp, base in _recovery_goldens():
         docs.append(("recovery", name, ttl, exp, base))
+
+    # reference-shipped N-Triples corpora are their own goldens: NT is
+    # a Turtle subset, so the pipeline must reproduce the file verbatim
+    # (examples/best-buy.nt, examples/back-slash.nt)
+    for name in ("best-buy.nt", "back-slash.nt"):
+        body = open(f"{EXAMPLES}/../{name}", encoding="utf-8").read()
+        docs.append(("shipped_nt", name, body, body, ""))
+
+    # every other shipped example .ttl: golden = the (unit-suite-pinned)
+    # scalar parser's emission; checks the full Spark pipeline (turn
+    # split → shuffle → reassemble → Arrow parse) loses/invents nothing
+    from kgt.turtle import TurtleParser, nt_encode
+
+    for path in sorted(glob.glob(f"{EXAMPLES}/../*.ttl")):
+        name = os.path.basename(path)
+        body = open(path, encoding="utf-8").read()
+        stmts, errs = TurtleParser(rdfstar=True).parse(body)
+        assert not errs, (name, errs[:2])
+        exp = "\n".join(
+            f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} ." for s, p, o in stmts
+        )
+        docs.append(("shipped_examples", name, body, exp, ""))
     return docs
 
 
@@ -115,7 +137,7 @@ def main():
     bases = {base for _, _, _, _, base in docs}
     for base in bases:
         part = docs_df.filter(F.col("conv_id").endswith(f"|{base}"))
-        ext = parse_documents(part, base_uri=base, skolem_salt=None)
+        ext = parse_documents(part, base_uri=base, skolem_salt=None, rdfstar=True)
         out_rows.extend(
             ext.filter(F.col("kind") == "T")
             .select("conv_id", "subj", "pred", "obj")

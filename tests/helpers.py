@@ -85,9 +85,40 @@ def normalize_nt(text: str) -> list[str]:
             continue
         # normalize "<s> <p> <o>." and "<s> <p> <o> ." forms
         line = re.sub(r"\s*\.\s*$", " .", line)
-        line = re.sub(r"\s+", " ", line)
-        out.append(line)
+        out.append(_collapse_ws_outside_strings(line))
     return out
+
+
+def _collapse_ws_outside_strings(line: str) -> str:
+    """Collapse whitespace runs to one space, but NEVER inside a quoted
+    literal — an NT-escaped literal can legitimately contain multiple
+    consecutive spaces (e.g. examples/arnau-stack-overflow.ttl)."""
+    out = []
+    in_str = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < len(line):
+                out.append(line[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+        elif c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+        elif c in " \t":
+            out.append(" ")
+            while i < len(line) and line[i] in " \t":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def assert_equivalent(ttl: str, expected_nt: str, **options):
