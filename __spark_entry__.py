@@ -640,6 +640,12 @@ def _q_sim_topk(spark, sf_dir):
 
 
 def _q_sim_topk_ivf(spark, sf_dir):
+    """IVF ANN with real Voronoi cells (16 deterministic seed
+    centroids, nprobe=2): base vectors assigned to their nearest cell
+    by a shuffle-free projection, queries probe 2 cells, equi-join on
+    cid. The k-means-trained variant is pinned in tests (recall@k vs
+    brute force); the oracle uses the seed quantizer so DuckDB
+    reproduces the exact cells."""
     from kgt.textops.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1214,13 +1220,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
 
+    # IVF with 16 deterministic Voronoi seed cells, nprobe=2 — mirrors
+    # kgt.textops.similarity.ivf_topk exactly (same rounded-cosine cell
+    # ordering, cid tiebreak)
+    _ccos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
     sqls["sim_topk_ivf"] = f"""
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+        ),
+        base_rank AS (
+          SELECT e.vec_id, s.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_ccos.format(a="e.v", b="s.cv")} DESC, s.cid ASC) AS rn
+          FROM e CROSS JOIN seeds s
+        ),
+        base AS (
+          SELECT b.vec_id AS neighbor_id, b.cid, e.v AS ev
+          FROM base_rank b JOIN e ON e.vec_id = b.vec_id WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        qrank AS (
+          SELECT q.query_id, s.cid, q.qv,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_ccos.format(a="q.qv", b="s.cv")} DESC, s.cid ASC) AS rn
+          FROM q CROSS JOIN seeds s
+        ),
+        probe AS (SELECT query_id, cid, qv FROM qrank WHERE rn <= 2),
         scored AS (
-          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_cos} AS sim
-          FROM e a JOIN e b ON a.label = b.label
-          WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
-        ), ranked AS (
+          SELECT p.query_id, b.neighbor_id,
+                 {_ccos.format(a="p.qv", b="b.ev")} AS sim
+          FROM probe p JOIN base b USING (cid)
+          WHERE b.neighbor_id <> p.query_id
+        ),
+        ranked AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM scored

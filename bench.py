@@ -65,6 +65,22 @@ def main():
         total += dt
         extra[f"{name}_rows"] = n
 
+    # ANN quality: IVF recall@5 vs brute force (the bench's accuracy
+    # counterweight to the ivf speedup), plus the LSH candidate ratio
+    # (banded candidates / jaccard-confirmed pairs — 1.0 is perfect)
+    from kgt.textops.similarity import brute_force_topk, ivf_topk, recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs_df = emb.filter(emb.vec_id < 8)
+    extra["ivf_recall_at_5"] = round(
+        recall_at_k(ivf_topk(emb, qs_df, k=5), brute_force_topk(emb, qs_df, k=5)),
+        4,
+    )
+    if "dedup_ngram_jaccard_rows" in extra and extra["dedup_ngram_jaccard_rows"]:
+        extra["lsh_candidate_ratio"] = round(
+            extra["dedup_minhash_lsh_rows"] / extra["dedup_ngram_jaccard_rows"], 3
+        )
+
     # turns/sec: the north-rule throughput metric over the parse path
     from kgt.spark.parse import extract_triples
     from kgt.spark.transcripts import orders_transcripts

@@ -1,0 +1,87 @@
+"""ANN operator tests: IVF correctness + recall vs brute force, cell
+assignment determinism, k-means quality path, scale-shape plan checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgt.textops.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    recall_at_k,
+    seed_centroids,
+    train_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8)
+
+
+def test_ivf_is_subset_of_probed_scores(emb, queries):
+    """Every IVF hit must carry the same sim the exact search assigns —
+    IVF approximates by pruning candidates, never by changing scores."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_topk(emb, queries, k=50).collect()
+    }
+    for r in ivf_topk(emb, queries, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:  # top-50 window of the exact ranking
+            assert exact[key] == r["sim"]
+
+
+def test_ivf_recall_seed_centroids(emb, queries):
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=2)
+    r = recall_at_k(approx, exact)
+    # seed (untrained) quantizer, nprobe=2/16 cells: useful-but-lossy
+    assert r >= 0.5, r
+
+
+def test_ivf_recall_improves_with_nprobe(emb, queries):
+    exact = brute_force_topk(emb, queries, k=5)
+    cents = seed_centroids(emb, 16)
+    r1 = recall_at_k(ivf_topk(emb, queries, k=5, nprobe=1, centroids=cents), exact)
+    r4 = recall_at_k(ivf_topk(emb, queries, k=5, nprobe=4, centroids=cents), exact)
+    r16 = recall_at_k(
+        ivf_topk(emb, queries, k=5, nprobe=16, centroids=cents), exact
+    )
+    assert r1 <= r4 <= r16
+    # probing every cell = exhaustive search
+    assert r16 == 1.0
+
+
+def test_ivf_kmeans_centroids_recall(emb, queries):
+    """The quality path: trained cells must beat the random-coverage
+    baseline (probing nprobe of n_cells random cells recovers
+    ~nprobe/n_cells of the exact top-k; the test data is random
+    high-dim vectors, the worst case for any ANN index)."""
+    exact = brute_force_topk(emb, queries, k=5)
+    cents = train_centroids(emb, n_cells=8, seed=13, max_iter=10)
+    assert len(cents) == 8 and all(len(c) > 0 for _, c in cents)
+    r = recall_at_k(ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents), exact)
+    assert r > 2 / 8, r
+
+
+def test_seed_centroids_deterministic(emb):
+    a = seed_centroids(emb, 4)
+    b = seed_centroids(emb, 4)
+    assert a == b
+    assert [cid for cid, _ in a] == [0, 1, 2, 3]
+
+
+def test_ivf_base_side_not_shuffled(emb, queries):
+    """Scale shape: cell assignment is a projection and the probe join
+    broadcasts the query side — the base table must reach the join with
+    no Exchange below it."""
+    plan = ivf_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    pre_join = plan.split("BroadcastHashJoin")[-1]
+    # the streamed (base) side below the join: scan + project only
+    assert "Exchange hashpartitioning(cid" not in plan, plan[:2000]
