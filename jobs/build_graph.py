@@ -46,11 +46,22 @@ def main(argv=None):
     )
     ap.add_argument(
         "--fastpath",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="route documents matching the regular N-Triples+pnames "
-        "subset through the zero-Python columnar parser; the rest "
-        "(multi-line strings, collections, property lists) take the "
-        "grammar path",
+        "subset through the zero-Python columnar parser (DEFAULT ON — "
+        "the is_regular_doc gate is conservative and both paths are "
+        "cross-checked in tests); the rest (multi-line strings, "
+        "collections, property lists) take the grammar path. "
+        "--no-fastpath forces the grammar path for everything",
+    )
+    ap.add_argument(
+        "--batch-chunks",
+        type=int,
+        default=8,
+        help="chunks per Spark job: one scan/parse/write covers the "
+        "batch so large --chunks don't serialize driver-side jobs; "
+        "lineage stays per-chunk",
     )
     args = ap.parse_args(argv)
 
@@ -82,6 +93,7 @@ def main(argv=None):
             "validate": args.validate,
         },
         use_fastpath=args.fastpath,
+        batch_chunks=args.batch_chunks,
     )
     print(f"extraction: {stats}", file=sys.stderr)
 

@@ -70,73 +70,110 @@ def run_extraction(
     parse_options: dict | None = None,
     fail_on_chunk: int | None = None,
     use_fastpath: bool = False,
+    batch_chunks: int = 8,
 ) -> dict:
     """Process every pending chunk of the staged input; returns metrics.
+
+    Pending chunks run in BATCHES of ``batch_chunks`` per Spark job —
+    one scan, one parse stage, and one dynamic-partition write cover
+    the whole batch, so ``--chunks 256`` fills the cluster instead of
+    serializing 256 driver-side jobs. Lineage stays per-chunk (a crash
+    mid-batch re-runs only that batch; outputs are idempotent via
+    content-hash skolemization). ``batch_chunks=1`` reproduces the
+    strictly sequential behavior.
 
     ``use_fastpath`` routes documents in the regular N-Triples+pnames
     subset through the zero-Python columnar parser; everything else
     takes the grammar path. ``fail_on_chunk`` injects a failure after
-    that chunk's outputs but before its lineage record — the crash
-    point tests must survive.
+    the outputs of the batch containing that chunk but before any of
+    the batch's lineage records — the crash point tests must survive.
     """
     from kgt.spark.parse import parse_documents, reassemble
 
     done = completed_chunks(spark, out_dir)
     pending = [c for c in range(n_chunks) if c not in done]
     stats = {"run_id": run_id, "chunks_done": len(done), "chunks_run": 0}
-    for chunk in pending:
+    for i in range(0, len(pending), max(batch_chunks, 1)):
+        batch = pending[i : i + max(batch_chunks, 1)]
         t0 = time.time()
-        part = spark.read.parquet(f"{out_dir}/staged/chunk={chunk}")
-        docs = reassemble(part)
+        part = (
+            spark.read.option("basePath", f"{out_dir}/staged")
+            .parquet(*[f"{out_dir}/staged/chunk={c}" for c in batch])
+        )
+        docs = reassemble(part.select("conv_id", "turn_idx", "text"))
         if use_fastpath:
             from kgt.spark.fastpath import is_regular_doc, parse_fastpath
 
             regular = docs.filter(is_regular_doc(F.col("text")))
             rest = docs.filter(~is_regular_doc(F.col("text")))
-            ext = (
-                parse_fastpath(regular)
-                .unionByName(parse_documents(rest, **(parse_options or {})))
-                .cache()
+            ext = parse_fastpath(regular).unionByName(
+                parse_documents(rest, **(parse_options or {}))
             )
         else:
-            ext = parse_documents(docs, **(parse_options or {})).cache()
+            ext = parse_documents(docs, **(parse_options or {}))
+        # chunk is a pure function of conv_id — re-derive instead of
+        # threading it through the parse stage
+        ext = ext.withColumn(
+            "chunk", chunk_of(F.col("conv_id"), n_chunks)
+        ).cache()
         triples = ext.filter(F.col("kind") == "T").drop(
             "lineno", "production", "message", "kind"
         )
         errors = ext.filter(F.col("kind") == "E").select(
-            "conv_id", "lineno", "production", "message"
+            "conv_id", "lineno", "production", "message", "chunk"
         )
-        n_triples = triples.count()
-        triples.write.mode("overwrite").parquet(
-            f"{out_dir}/triples/chunk={chunk}"
+        # dynamic partition overwrite: only this batch's chunk dirs are
+        # replaced, earlier completed chunks stay untouched
+        (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk")
+            .parquet(f"{out_dir}/triples")
         )
-        n_errors = errors.count()
-        errors.write.mode("overwrite").parquet(
-            f"{out_dir}/errors/chunk={chunk}"
+        (
+            errors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk")
+            .parquet(f"{out_dir}/errors")
         )
-        n_turns = part.count()
+        tri_counts = {
+            r["chunk"]: r["count"]
+            for r in triples.groupBy("chunk").count().collect()
+        }
+        err_counts = {
+            r["chunk"]: r["count"]
+            for r in errors.groupBy("chunk").count().collect()
+        }
+        turn_counts = {
+            r["chunk"]: r["count"]
+            for r in part.groupBy("chunk").count().collect()
+        }
         ext.unpersist()
-        if fail_on_chunk == chunk:
-            raise RuntimeError(f"injected failure after chunk {chunk} outputs")
-        rec = spark.createDataFrame(
-            [
-                (
-                    run_id,
-                    chunk,
-                    "done",
-                    n_turns,
-                    n_triples,
-                    n_errors,
-                    t0,
-                    time.time(),
-                )
-            ],
-            LINEAGE_SCHEMA,
-        )
-        rec.coalesce(1).write.mode("overwrite").parquet(
-            f"{out_dir}/_lineage/chunk={chunk}"
-        )
-        stats["chunks_run"] += 1
+        if fail_on_chunk is not None and fail_on_chunk in batch:
+            raise RuntimeError(
+                f"injected failure after batch {batch} outputs"
+            )
+        finished = time.time()
+        for chunk in batch:
+            rec = spark.createDataFrame(
+                [
+                    (
+                        run_id,
+                        chunk,
+                        "done",
+                        turn_counts.get(chunk, 0),
+                        tri_counts.get(chunk, 0),
+                        err_counts.get(chunk, 0),
+                        t0,
+                        finished,
+                    )
+                ],
+                LINEAGE_SCHEMA,
+            )
+            rec.coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/_lineage/chunk={chunk}"
+            )
+            stats["chunks_run"] += 1
     return stats
 
 

@@ -139,8 +139,21 @@ def parse_documents(
     canonicalize: bool = False,
     rdfstar: bool = False,
     skolem_salt: str | None = DEFAULT_SKOLEM_SALT,
+    freebase: bool = False,
 ) -> DataFrame:
-    """docs(conv_id, text) → statement/error rows via Arrow batches."""
+    """docs(conv_id, text) → statement/error rows via Arrow batches.
+
+    ``freebase=True`` mirrors the reference's ``Reader.new(freebase:
+    true)`` class dispatch (reader.rb:58-66): the document set is
+    routed through the zero-Python columnar FreebaseReader equivalent
+    (kgt.spark.fastpath) instead of the grammar parser; per-line
+    quarantine replaces recovery, like the reference's optimized
+    reader. The other parse options don't apply on that path (the
+    fastpath grammar subset has no bnodes/literals needing them)."""
+    if freebase:
+        from kgt.spark.fastpath import parse_fastpath
+
+        return parse_fastpath(docs)
     prefixes = dict(prefixes or {})
 
     def run(batches):

@@ -80,12 +80,29 @@ class TurtleParser:
         validate: bool = False,
         canonicalize: bool = False,
         rdfstar: bool = False,
+        anon_base: str = "g0",
+        intern: bool = False,
     ):
         self.base_uri = base_uri or ""
         self.initial_prefixes = dict(prefixes or {})
         self.validate = validate
         self.canonicalize = canonicalize
         self.rdfstar = rdfstar
+        # anon_base (reader.rb:81-82,97): basis for fresh bnode labels.
+        # The reference defaults to "b0"; we default to "g0" — a
+        # DOCUMENTED deviation (README Variations): the Spark pipeline
+        # content-hash-skolemizes labels anyway, and the g-prefix
+        # matches RDF.rb's to_unique_base shape used by our writer.
+        m = re.match(r"\A([A-Za-z_]*?)([0-9]*)\Z", anon_base)
+        if not m:
+            raise ValueError(f"bad anon_base: {anon_base!r}")
+        self._anon_prefix = m.group(1) or "g"
+        self._anon_start = int(m.group(2) or 0)
+        # intern (reader.rb:107 semantics): share IRI string storage
+        # across terms. In Ruby this dedups RDF::URI objects; here
+        # sys.intern dedups the str payloads. Off by default (moot for
+        # the Spark pipeline, where terms become columnar data).
+        self.intern = intern
         # batch mode sets this False: errors are returned, never raised
         self.validate_raises = True
 
@@ -407,6 +424,10 @@ class TurtleParser:
             iri = urilib.resolve(self.base, iri)
         if self.validate and not urilib.is_absolute(iri):
             self._error(f"relative IRI without base: {iri!r}", "process_iri")
+        if self.intern:
+            import sys
+
+            iri = sys.intern(iri)
         return ("I", iri)
 
     def _pname(self, prefix: str, suffix: str):
@@ -425,9 +446,9 @@ class TurtleParser:
 
     def _bnode(self, label: str | None = None):
         if label is None:
-            n = self._anon_counter
+            n = self._anon_start + self._anon_counter
             self._anon_counter += 1
-            return ("B", f"g{n}")
+            return ("B", f"{self._anon_prefix}{n}")
         got = self._bnode_cache.get(label)
         if got is None:
             got = ("B", "u" + label)

@@ -42,11 +42,14 @@ def test_crash_resume_idempotent(spark, sf_dir, out_dir):
 
     _stage(spark, sf_dir, out_dir)
     # crash after chunk 2's outputs, before its lineage record
+    # (batch_chunks=1: the strictly sequential fine-grained mode)
     with pytest.raises(RuntimeError, match="injected failure"):
-        run_extraction(spark, out_dir, "r1", n_chunks=4, fail_on_chunk=2)
+        run_extraction(
+            spark, out_dir, "r1", n_chunks=4, fail_on_chunk=2, batch_chunks=1
+        )
     assert completed_chunks(spark, out_dir) == {0, 1, 2} - {2}
     # resume: chunks 2 and 3 rerun; chunk 2's outputs overwritten
-    stats = run_extraction(spark, out_dir, "r2", n_chunks=4)
+    stats = run_extraction(spark, out_dir, "r2", n_chunks=4, batch_chunks=1)
     assert stats["chunks_run"] == 2
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert read_triples(spark, out_dir).count() == 6 * n_orders
@@ -56,6 +59,57 @@ def test_crash_resume_idempotent(spark, sf_dir, out_dir):
     # lineage mixes both run_ids
     runs = {r["run_id"] for r in metrics(spark, out_dir).collect()}
     assert runs == {"r1", "r2"}
+
+
+def test_batched_crash_resume(spark, sf_dir, out_dir):
+    """Batched mode: one Spark job covers batch_chunks chunks; a crash
+    mid-batch loses only that batch's lineage, and the resume rerun is
+    idempotent (dynamic partition overwrite + content-hash skolems)."""
+    from kgt.spark.lineage import (
+        completed_chunks,
+        read_triples,
+        run_extraction,
+    )
+
+    _stage(spark, sf_dir, out_dir)
+    # batch 1 = chunks {0,1} done; crash in batch 2 = {2,3}
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, out_dir, "r1", n_chunks=4, fail_on_chunk=3, batch_chunks=2
+        )
+    assert completed_chunks(spark, out_dir) == {0, 1}
+    stats = run_extraction(spark, out_dir, "r2", n_chunks=4, batch_chunks=2)
+    assert stats["chunks_run"] == 2
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    t = read_triples(spark, out_dir)
+    assert t.count() == 6 * n_orders
+    assert t.count() == t.dropDuplicates(["conv_id", "stmt_idx"]).count()
+
+
+def test_batched_matches_sequential(spark, sf_dir, out_dir, tmp_path):
+    """Same triples whether chunks run one-by-one or batched."""
+    from kgt.spark.lineage import read_triples, run_extraction, stage_input
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir, with_errors=True)
+    other = str(tmp_path / "seq_out")
+    stage_input(tx, out_dir, 4)
+    stage_input(tx, other, 4)
+    run_extraction(spark, out_dir, "rb", n_chunks=4, batch_chunks=4)
+    run_extraction(spark, other, "rs", n_chunks=4, batch_chunks=1)
+    a = {
+        tuple(r)
+        for r in read_triples(spark, out_dir)
+        .select("conv_id", "stmt_idx", "subj", "pred", "obj")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in read_triples(spark, other)
+        .select("conv_id", "stmt_idx", "subj", "pred", "obj")
+        .collect()
+    }
+    assert a == b
 
 
 def test_materialize_bucketed(spark, sf_dir, out_dir, tmp_path):

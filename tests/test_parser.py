@@ -504,3 +504,31 @@ class TestRdfStar:
             '<<"lit" <tag:p> <tag:o>>> <tag:q> <tag:z> .'
         )
         assert errs
+
+
+class TestReaderOptionParity:
+    """reader.rb:58-117 option surface: anon_base, intern, freebase
+    dispatch (see README 'Variations' for the documented deviations)."""
+
+    def test_anon_base_default_g(self):
+        stmts, _ = TurtleParser().parse("[] <urn:p> [] .")
+        assert stmts[0][0] == ("B", "g0") and stmts[0][2] == ("B", "g1")
+
+    def test_anon_base_reference_style(self):
+        stmts, _ = TurtleParser(anon_base="b0").parse("[] <urn:p> [] .")
+        assert stmts[0][0] == ("B", "b0") and stmts[0][2] == ("B", "b1")
+
+    def test_anon_base_offset(self):
+        stmts, _ = TurtleParser(anon_base="n5").parse("[] <urn:p> 1 .")
+        assert stmts[0][0] == ("B", "n5")
+
+    def test_intern_shares_iri_storage(self):
+        stmts, _ = TurtleParser(intern=True).parse(
+            "<urn:s> <urn:p> <urn:s> . <urn:s> <urn:q> 1 ."
+        )
+        assert stmts[0][0][1] is stmts[0][2][1]
+        assert stmts[0][0][1] is stmts[1][0][1]
+
+    def test_intern_off_by_default(self):
+        p = TurtleParser()
+        assert p.intern is False

@@ -301,3 +301,32 @@ def test_simhash_finds_exact_copies(spark, sf_dir):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     for r in docs.collect():
         assert (r["doc_id"], r["doc_id"] + 1000) in got
+
+
+def test_parse_documents_freebase_dispatch(spark, sf_dir):
+    """parse_documents(freebase=True) ≡ Reader.new(freebase: true)
+    class dispatch (reader.rb:58-66): same triples as the grammar path
+    for fastpath-eligible docs, zero Python in the plan."""
+    from kgt.spark.parse import parse_documents
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(50)
+    doc = F.concat(
+        F.lit("@prefix p: <urn:p:> .\n<urn:li:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("> p:qty "),
+        F.col("l_quantity").cast("long").cast("string"),
+        F.lit(" .\n"),
+    )
+    docs = li.select(
+        F.concat(F.lit("f"), F.col("l_orderkey").cast("string"),
+                 F.lit("_"), F.col("l_linenumber").cast("string")).alias("conv_id"),
+        doc.alias("text"),
+    )
+    fast = parse_documents(docs, freebase=True)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower()
+    slow = parse_documents(docs, skolem_salt=None)
+    cols = ["conv_id", "subj", "pred", "obj"]
+    a = {tuple(r) for r in fast.filter(F.col("kind") == "T").select(*cols).collect()}
+    b = {tuple(r) for r in slow.filter(F.col("kind") == "T").select(*cols).collect()}
+    assert a == b and a
