@@ -621,6 +621,23 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(sh, threshold=0.6, max_df=1000)
 
 
+def _q_dedup_near_verified(spark, sf_dir):
+    """The canonical near-dup pipeline end-to-end: banded-LSH blocking
+    feeds exact Jaccard verification — candidates ∩ (jaccard ≥ 0.6).
+    At 100 TB this is THE shape: the exact self-join only ever runs
+    inside LSH candidate pairs."""
+    from kgt.textops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    sh = shingles(_dup_corpus(spark, sf_dir))
+    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=32, rows_per_band=4))
+    return ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """md5-derived SimHash (two 32-bit halves) with 4×16-bit chunk
     blocking — lossless for hamming ≤ 3 — and a bucket-size cap.
@@ -723,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_near_verified": _q_dedup_near_verified,
         "dedup_simhash": _q_dedup_simhash,
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
@@ -982,6 +1000,23 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
     """
 
+    # the pretty writer's layout is char-deterministic for the bnodes
+    # corpus (every conversation has the same graph shape: one inline
+    # [...] bnode + one (...) collection), so the full document text is
+    # SQL-constructible — this upgrades kg_pretty_writer from the
+    # rows-only check it had in round 1 to a hard hash gate
+    sqls["kg_pretty_writer"] = """
+        SELECT 'b' || CAST(c_custkey AS VARCHAR) AS conv_id,
+               '@prefix c: <urn:cust:> .' || chr(10) ||
+               '@prefix p: <urn:p:> .' || chr(10) || chr(10) ||
+               'c:' || CAST(c_custkey AS VARCHAR) || ' p:acct [' || chr(10) ||
+               '    p:bal ' || CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR) || ';' || chr(10) ||
+               '    p:seg "' || c_mktsegment || '"' || chr(10) ||
+               '  ];' || chr(10) ||
+               '  p:tags ("A" "' || c_name || '" c:' || CAST(c_custkey AS VARCHAR) || ') .' || chr(10) AS ttl
+        FROM customer
+    """
+
     sqls["q5_region_revenue"] = """
         SELECT r_name, n_name,
                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -1132,6 +1167,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b,
                round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
         FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """
+
+    # end-to-end near-dup: LSH candidates (from UNCAPPED shingles, like
+    # the Spark side) ∩ exact Jaccard over df-capped shingles
+    sqls["dedup_near_verified"] = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        sh0 AS ({_SHINGLES_SQL}),
+        wide AS (
+          SELECT doc_id,
+               {_mins}
+          FROM sh0 GROUP BY doc_id
+        ),
+        bk AS (
+          SELECT doc_id,
+               {_bks}
+          FROM wide
+        ),
+        sig AS (
+          {_band_union}
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM sig l JOIN sig r
+            ON l.band = r.band AND l.minhash = r.minhash AND l.doc_id < r.doc_id
+        ),
+        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+        sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        blocked AS (
+          SELECT common.* FROM common SEMI JOIN cand USING (doc_a, doc_b)
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM blocked
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6

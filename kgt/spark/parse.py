@@ -54,7 +54,12 @@ def reassemble(transcripts: DataFrame, num_partitions: int | None = None) -> Dat
     if num_partitions is None:
         num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
     return (
-        transcripts.repartition(num_partitions, "conv_id")
+        # project BEFORE the exchange: the shuffle carries only the 3
+        # columns the aggregate needs (role/tool/ts would otherwise
+        # ride along — measurably slower at high core counts where the
+        # single exchange is bandwidth-bound)
+        transcripts.select("conv_id", "turn_idx", "text")
+        .repartition(num_partitions, "conv_id")
         .groupBy("conv_id")
         .agg(
             F.concat_ws(

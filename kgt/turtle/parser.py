@@ -46,6 +46,7 @@ from kgt.turtle.terms import (
 )
 
 import re
+import sys as _sys
 
 _PN_LOCAL_ESC_RE = re.compile(r"\\([_~.\-!$&'()*+,;=/?#@%])")
 
@@ -425,9 +426,7 @@ class TurtleParser:
         if self.validate and not urilib.is_absolute(iri):
             self._error(f"relative IRI without base: {iri!r}", "process_iri")
         if self.intern:
-            import sys
-
-            iri = sys.intern(iri)
+            iri = _sys.intern(iri)
         return ("I", iri)
 
     def _pname(self, prefix: str, suffix: str):
