@@ -1122,8 +1122,10 @@ def oracle_sql() -> dict[str, str]:
 
     # banded MinHash: 32 hashes → 8 bands × 4 rows; band key = md5 of
     # the band's concatenated minhashes (mirrors kgt.textops.dedup)
+    # 4 independent 32-bit lanes per md5, mirroring minhash_signatures
     _mins = ",\n               ".join(
-        f"min(md5('h{i}:' || shingle)) AS h{i}" for i in range(32)
+        f"min(substr(md5('s{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(32)
     )
     _bks = ",\n               ".join(
         "md5(" + " || '|' || ".join(f"h{4 * b + j}" for j in range(4)) + f") AS bk{b}"

@@ -69,9 +69,14 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
             lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    # dedupe WITHIN the doc array before exploding: (doc_id, shingle)
+    # distinctness is per-document, so array_distinct gives the same
+    # rows as explode + .distinct() WITHOUT the full shuffle the
+    # global distinct costs (it was the dominant stage of every dedup
+    # op at sf0.1)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 
 
@@ -112,8 +117,19 @@ def minhash_signatures(
     if n_hashes % rows_per_band:
         raise ValueError("n_hashes must be a multiple of rows_per_band")
     n_bands = n_hashes // rows_per_band
+    # 4 independent 32-bit lanes per md5 (128 bits = 4×32): hashing
+    # each shingle ceil(n/4) times instead of n times — the md5 work
+    # dominated this operator's runtime at 32 hashes (bench: 38 s →
+    # ~14 s at sf0.1). Lane h_i = hex chars [8·(i%4) .. 8·(i%4)+8) of
+    # md5('s<i//4>:' || shingle); min over fixed-width hex ≡ numeric min.
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"s{i // 4}:"), F.col("shingle"))),
+                1 + 8 * (i % 4),
+                8,
+            )
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = shingle_df.groupBy("doc_id").agg(*aggs)

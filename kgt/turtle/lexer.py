@@ -46,6 +46,16 @@ _SCANNER = re.compile(
     "|".join(f"(?P<{name}>{pattern})" for name, pattern in _TERMINALS)
 )
 _WS = re.compile(T.WS)
+# Fused whitespace+token pattern: ONE C-level match per token instead
+# of a ws-match + token-match pair. The ws prefix is ATOMIC ((?>...),
+# Python 3.11+) so a failed token match can never backtrack INTO a
+# comment and lex its content (e.g. "# 123" must not yield INTEGER).
+_SCANNER_WS = re.compile(
+    rf"(?>{T.WS})?"
+    + "(?:"
+    + "|".join(f"(?P<{name}>{pattern})" for name, pattern in _TERMINALS)
+    + ")"
+)
 
 # Terminals the reference lexes with unescape: true (reader.rb:16-25).
 _UNESCAPE_TYPES = frozenset(
@@ -103,62 +113,64 @@ class LexerError(Exception):
 ERR = "*ERR*"
 
 
-def tokenize(text: str) -> list:
-    """Lex a whole document in one pass → list of (type, value, lineno).
+def lineno_at(text: str, pos: int) -> int:
+    """1-based line number of a char offset (computed lazily — only
+    error paths ever need line numbers)."""
+    return text.count("\n", 0, min(pos, len(text))) + 1
 
-    Illegal input produces ONE (ERR, snippet, lineno) marker per illegal
+
+def tokenize(text: str) -> list:
+    """Lex a whole document in one pass → list of (type, value, pos).
+
+    Illegal input produces ONE (ERR, snippet, pos) marker per illegal
     run (the reference lexer raises once, then `recover` discards input
     until something lexes — reader.rb:580-581); lexing then resumes at
     the next scannable position. Pre-lexing the whole document beats a
     pull lexer ~2× in Python: one tight loop, no lookahead caching, no
     exception plumbing per token — and Arrow batches hold whole
     documents anyway (the reference's incremental partial_regexp IO is
-    moot here).
+    moot here). The third tuple element is the CHAR OFFSET of the
+    token; convert with ``lineno_at`` when reporting (line counting in
+    the hot loop cost ~15% of lexing and only errors consume it).
     """
     toks = []
     append = toks.append
-    scan = _SCANNER.match
+    scan = _SCANNER_WS.match
     ws = _WS.match
-    pos, lineno, n = 0, 1, len(text)
+    pos, n = 0, len(text)
+    unescape_types = _UNESCAPE_TYPES
     while pos < n:
-        m = ws(text, pos)
-        if m is not None:
-            seg = m.group(0)
-            lineno += seg.count("\n")
-            pos = m.end()
-            if pos >= n:
-                break
         m = scan(text, pos)
         if m is None:
-            append((ERR, text[pos : pos + 10], lineno))
+            # either trailing whitespace to EOF, or an illegal char
+            m2 = ws(text, pos)
+            if m2 is not None:
+                pos = m2.end()
+                if pos >= n:
+                    break
+            append((ERR, text[pos : pos + 10], pos))
             # discard: one char, then forward until something lexes
-            if text[pos] == "\n":
-                lineno += 1
             pos += 1
             while pos < n:
                 m2 = ws(text, pos)
                 if m2 is not None:
-                    seg = m2.group(0)
-                    lineno += seg.count("\n")
                     pos = m2.end()
                     continue
                 if scan(text, pos) is not None:
                     break
-                if text[pos] == "\n":
-                    lineno += 1
                 pos += 1
             continue
         ttype = m.lastgroup
-        value = m.group(0)
+        value = m.group(ttype)
+        end = m.end()
+        tpos = end - len(value)
         if ttype == "PUNCT":
-            append((None, value, lineno))
-        elif ttype in _UNESCAPE_TYPES:
-            append((ttype, unescape(value), lineno))
+            append((None, value, tpos))
+        elif ttype in unescape_types:
+            append((ttype, unescape(value), tpos))
         else:
-            append((ttype, value, lineno))
-        if "\n" in value:
-            lineno += value.count("\n")
-        pos = m.end()
+            append((ttype, value, tpos))
+        pos = end
     return toks
 
 
@@ -166,14 +178,18 @@ class TokenStream:
     """Index cursor over a pre-lexed token list, with the same
     first/shift/recover contract the parser's recovery machinery uses:
     first() RAISES LexerError on an ERR marker; recover() steps past it.
+
+    Tokens carry char offsets; ``lineno``/``lineno_of`` convert lazily
+    (only error reporting consumes line numbers).
     """
 
-    __slots__ = ("toks", "i", "n")
+    __slots__ = ("toks", "i", "n", "text")
 
     def __init__(self, text: str):
         self.toks = tokenize(text)
         self.i = 0
         self.n = len(self.toks)
+        self.text = text
 
     def first(self):
         if self.i >= self.n:
@@ -181,7 +197,7 @@ class TokenStream:
         tok = self.toks[self.i]
         if tok[0] is ERR:
             raise LexerError(
-                f"invalid token at {tok[1]!r}", self.i, tok[2]
+                f"invalid token at {tok[1]!r}", self.i, lineno_at(self.text, tok[2])
             )
         return tok
 
@@ -199,13 +215,23 @@ class TokenStream:
     def at_end(self) -> bool:
         return self.i >= self.n
 
+    def lineno_of(self, tok) -> int:
+        return lineno_at(self.text, tok[2])
+
     @property
     def lineno(self) -> int:
         if self.i < self.n:
-            return self.toks[self.i][2]
-        return self.toks[-1][2] if self.toks else 1
+            return lineno_at(self.text, self.toks[self.i][2])
+        if self.toks:
+            return lineno_at(self.text, self.toks[-1][2])
+        return 1
 
 
 def tokens(text: str):
-    """Eagerly lex a document; skips illegal runs. Test/debug helper."""
-    return [t for t in tokenize(text) if t[0] is not ERR]
+    """Eagerly lex a document; skips illegal runs. Test/debug helper —
+    returns (type, value, LINENO) tuples (offsets converted)."""
+    return [
+        (t[0], t[1], lineno_at(text, t[2]))
+        for t in tokenize(text)
+        if t[0] is not ERR
+    ]

@@ -359,7 +359,10 @@ class TurtleParser:
     # -- infrastructure ---------------------------------------------------
 
     def _error(self, message: str, production: str = "", token=None):
-        lineno = token[2] if token is not None else self.lexer.lineno
+        # tokens carry char offsets; line numbers materialize only here
+        lineno = (
+            self.lexer.lineno_of(token) if token is not None else self.lexer.lineno
+        )
         self.errors.append((lineno, production, message))
         self.recovering = True
         raise _SyntaxErr(message)

@@ -30,6 +30,7 @@ ARROW_OK = {
     "kg_streaming_writer",
     "kg_pname",
     "kg_canonicalize",
+    "kg_rdfstar",
     "kg_pretty_writer",
     "kg_ntriples_c14n",
     "multimodal_decode",
