@@ -53,19 +53,22 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
-        )
+        ).withColumn("qn", norm(F.col("qv")))
     )
+    # norms computed once per ROW, not once per scored pair
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("ev"),
-    )
+    ).withColumn("en", norm(F.col("ev")))
     scored = (
         e.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -125,13 +128,24 @@ def _cell_ranking(vec_col, centroids):
     """Array of cids ordered by cosine-to-centroid desc (ties → lower
     cid): a PURE PROJECTION — the centroid table rides into the plan as
     literals, so assigning a cell to N vectors costs zero joins and
-    zero shuffles (the O(N·C) multiply happens inside codegen)."""
+    zero shuffles (the O(N·C) multiply happens inside codegen).
+
+    The vector's own norm is computed ONCE (not per centroid) and each
+    centroid's norm is a Python-side constant — sqrt and left-to-right
+    summation match the SQL oracle's list_dot_product bit-for-bit."""
+    import math
+
+    vnorm = norm(vec_col)
     entries = []
     for cid, cv in centroids:
         cvec = F.array(*[F.lit(float(x)) for x in cv])
+        cnorm = 0.0
+        for x in cv:  # left-to-right, like F.aggregate / list_dot_product
+            cnorm += float(x) * float(x)
+        cnorm = math.sqrt(cnorm)
         # round like the emitted sim so the SQL oracle (which matches
         # our rounded sims exactly) orders cells identically
-        sim = F.round(cosine(vec_col, cvec), 6)
+        sim = F.round(dot(vec_col, cvec) / (vnorm * F.lit(cnorm)), 6)
         entries.append(
             F.struct(
                 sim.alias("sim"), F.lit(-cid).cast("int").alias("ncid")
@@ -166,19 +180,27 @@ def ivf_topk(
     if centroids is None:
         centroids = seed_centroids(embeddings, n_cells, id_col, vec_col)
 
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("ev"),
-    ).withColumn("cid", _cell_ranking(F.col("ev"), centroids)[0])
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("ev"),
+        )
+        .withColumn("en", norm(F.col("ev")))
+        .withColumn("cid", _cell_ranking(F.col("ev"), centroids)[0])
+    )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn(
-        "cid",
-        F.explode(
-            F.slice(_cell_ranking(F.col("qv"), centroids), 1, nprobe)
-        ),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn(
+            "cid",
+            F.explode(
+                F.slice(_cell_ranking(F.col("qv"), centroids), 1, nprobe)
+            ),
+        )
     )
 
     scored = (
@@ -187,7 +209,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
