@@ -710,6 +710,24 @@ def _q_multimodal_decode(spark, sf_dir):
     return decode_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Longest-side-cap resize plumbing (mapInPandas, 1→1); stubbed
+    decode, real batch shape — dims + integer scaling oracle-checked."""
+    from kgt.textops.multimodal import resize, to_media
+
+    return resize(to_media(_read(spark, sf_dir, "documents")), max_side=256, fake=True)
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing (mapInPandas, 1→n fan-out); stubbed
+    decoder, deterministic fake frames oracle-checked."""
+    from kgt.textops.multimodal import frame_sample, to_media
+
+    return frame_sample(
+        to_media(_read(spark, sf_dir, "documents")), n_frames=4, fake=True
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG extraction over both derived corpora at sf0.001."""
     from kgt.spark.parse import triples
@@ -760,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -1433,6 +1453,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(('0x' || substr(md5(text), 1, 4))::INTEGER % 1024 + 1 AS INTEGER) AS width,
                CAST(('0x' || substr(md5(text), 5, 4))::INTEGER % 1024 + 1 AS INTEGER) AS height
         FROM documents
+    """
+
+    sqls["multimodal_resize"] = """
+        WITH m AS (
+          SELECT doc_id, 'image/fake' AS media_type,
+                 CAST(('0x' || substr(md5(text), 1, 4))::INTEGER % 1024 + 1 AS INTEGER) AS width,
+                 CAST(('0x' || substr(md5(text), 5, 4))::INTEGER % 1024 + 1 AS INTEGER) AS height
+          FROM documents
+        )
+        SELECT doc_id, media_type, width, height,
+               CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+                    ELSE greatest(1, (width * 256) // greatest(width, height))
+                    END AS INTEGER) AS resized_width,
+               CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+                    ELSE greatest(1, (height * 256) // greatest(width, height))
+                    END AS INTEGER) AS resized_height
+        FROM m
+    """
+
+    sqls["multimodal_frames"] = """
+        WITH m AS (
+          SELECT doc_id, md5(text) AS cs,
+                 octet_length(encode(text)) % 100000 AS dur
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST((i * dur) // 4 AS BIGINT) AS ts_ms,
+               md5(cs || ':' || CAST(i AS VARCHAR)) AS frame_checksum
+        FROM (SELECT doc_id, cs, dur, unnest(generate_series(0, 3)) AS i FROM m)
     """
 
     return sqls

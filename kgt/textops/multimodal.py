@@ -69,3 +69,85 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "resized_width int, resized_height int"
+)
+
+
+def resize(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:
+    """mapInPandas image resize plumbing (1 row in → 1 row out).
+
+    Real mode would decode + PIL-resize + re-encode; the stub derives
+    the source dimensions exactly like decode_features and applies the
+    standard longest-side cap with integer arithmetic (new = max(1,
+    side·max_side // longest)) so the DuckDB oracle reproduces it.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for p in pdf["payload"]:
+                _, _, w, h = _decode_one(p, fake)
+                longest = max(w, h)
+                if longest <= max_side:
+                    rw, rh = w, h
+                else:
+                    rw = max(1, w * max_side // longest)
+                    rh = max(1, h * max_side // longest)
+                recs.append((w, h, rw, rh))
+            out = pd.DataFrame(
+                recs,
+                columns=["width", "height", "resized_width", "resized_height"],
+            )
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, frame_checksum string"
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """mapInPandas video frame sampling plumbing (1 row in → n rows
+    out — the fan-out batch shape a real pyav sampler needs).
+
+    Stub semantics (oracle-reproducible): fake duration_ms = payload
+    length mod 100000; frame i of n lands at ts_ms = i·duration//n with
+    checksum md5(payload_md5 || ':' || i).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, tss, sums = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires video codec libraries not "
+                        "present in this environment; pass fake=True"
+                    )
+                checksum = hashlib.md5(p).hexdigest()
+                duration_ms = len(p) % 100000
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * duration_ms // n_frames)
+                    sums.append(
+                        hashlib.md5(f"{checksum}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_checksum": sums,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -34,6 +34,8 @@ ARROW_OK = {
     "kg_pretty_writer",
     "kg_ntriples_c14n",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
 }
 # brute-force ANN intentionally broadcast-NL-joins the tiny query set
 CARTESIAN_OK = {"sim_topk"}

@@ -330,3 +330,33 @@ def test_parse_documents_freebase_dispatch(spark, sf_dir):
     a = {tuple(r) for r in fast.filter(F.col("kind") == "T").select(*cols).collect()}
     b = {tuple(r) for r in slow.filter(F.col("kind") == "T").select(*cols).collect()}
     assert a == b and a
+
+
+def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
+    """Resize (1→1) and frame-sample (1→n fan-out) mapInPandas batch
+    shapes; real codec path stays a guarded stub."""
+    import pytest as _pytest
+
+    from kgt.textops.multimodal import frame_sample, resize, to_media
+
+    media = to_media(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    )
+    rs = resize(media, max_side=128).collect()
+    assert len(rs) == 20
+    for r in rs:
+        assert max(r["resized_width"], r["resized_height"]) <= 128
+        assert r["resized_width"] >= 1 and r["resized_height"] >= 1
+        # aspect ratio preserved within integer rounding
+        if max(r["width"], r["height"]) > 128:
+            assert r["resized_width"] <= r["width"]
+
+    fr = frame_sample(media, n_frames=3).collect()
+    assert len(fr) == 60  # 1→n fan-out
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        frame_sample(media, n_frames=2, fake=False).collect()
