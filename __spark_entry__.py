@@ -360,6 +360,64 @@ def _q_kg_pname(spark, sf_dir):
     return pname_terms(terms, "term", _PNAME_PREFIXES)
 
 
+def _q_kg_dict_links(spark, sf_dir):
+    """The north-star dictionary loop end-to-end: build the shared
+    canonicalization dictionary from the DIMENSION tables (nation +
+    region + constant agent rows), detect free-text surface mentions
+    with one vectorized regex, broadcast-link, aggregate per IRI.
+    Oracle reconstructs the counts relationally."""
+    from kgt.spark.link import build_iri_dictionary, link_mentions
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    iri_dict = build_iri_dictionary(
+        nation.select(
+            F.col("n_name").alias("surface"),
+            F.concat(
+                F.lit("urn:nation:"), F.col("n_nationkey").cast("string")
+            ).alias("iri"),
+            F.lit("nation").alias("kind"),
+        ),
+        region.select(
+            F.col("r_name").alias("surface"),
+            F.concat(
+                F.lit("urn:region:"), F.col("r_regionkey").cast("string")
+            ).alias("iri"),
+            F.lit("region").alias("kind"),
+        ),
+        spark.createDataFrame(
+            [("user", "urn:agent:user", "agent")],
+            "surface string, iri string, kind string",
+        ),
+    )
+    # corpus: each order's shipping line mentions the customer's nation
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nat = nation.select("n_nationkey", "n_name")
+    lines = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.concat(F.lit("d"), F.col("o_orderkey").cast("string")).alias(
+                "conv_id"
+            ),
+            F.concat(
+                F.lit("route to "), F.col("n_name"), F.lit(" .")
+            ).alias("text"),
+        )
+    )
+    mentions = lines.select(
+        "conv_id",
+        F.regexp_extract("text", r"route to (.+?) \.", 1).alias("surface"),
+    )
+    linked = link_mentions(mentions, iri_dict)
+    return (
+        linked.filter(F.col("iri").isNotNull())
+        .groupBy("iri")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
 def _q_nt_fastpath(spark, sf_dir):
     """Columnar freebase-style fast path (zero Python): N-Triples+pnames
     docs derived from lineitem, parsed with pure Catalyst expressions
@@ -747,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_separators": _q_kg_stream_separators,
         "kg_refcounts": _q_kg_refcounts,
         "kg_entity_links": _q_kg_entity_links,
+        "kg_dict_links": _q_kg_dict_links,
         "kg_streaming_writer": _q_kg_streaming_writer,
         "kg_pname": _q_kg_pname,
         "kg_mention_triples": _q_kg_mention_triples,
@@ -828,6 +887,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'urn:agent:assistant', c * 2 FROM n
         UNION ALL SELECT 'urn:agent:tool', c * 2 FROM n
         UNION ALL SELECT 'urn:tool:turtle_emitter', c * 2 FROM n
+    """
+
+    sqls["kg_dict_links"] = """
+        SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS iri,
+               count(*) AS n_links
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
     """
 
     sqls["kg_rdfstar"] = """

@@ -48,6 +48,31 @@ def detect_mentions(transcripts: DataFrame) -> DataFrame:
     ).select("conv_id", "turn_idx", F.col("m.kind").alias("kind"), F.col("m.surface").alias("surface"))
 
 
+def build_iri_dictionary(*sources: DataFrame) -> DataFrame:
+    """Union (surface, iri, kind) sources into ONE broadcast-ready
+    canonicalization dictionary: surfaces normalized, duplicates
+    resolved deterministically (min iri per surface — stable across
+    retries and engines).
+
+    This is the north-star's shared dictionary: built once per job from
+    the dimension tables (+ constant agent/tool rows), broadcast into
+    every linking join. Dictionary size is dimension-bounded (~1k-1M
+    rows), never corpus-bounded.
+    """
+    out = None
+    for src in sources:
+        part = src.select(
+            normalize_text(F.col("surface")).alias("surface"),
+            F.col("iri"),
+            F.col("kind"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("surface").agg(
+        F.min("iri").alias("iri"),
+        F.min("kind").alias("kind"),
+    )
+
+
 def link_mentions(mentions: DataFrame, iri_dict: DataFrame) -> DataFrame:
     """Exact (normalized) broadcast-join linking.
 
