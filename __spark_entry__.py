@@ -999,9 +999,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT conv_id, stmt_idx,
             CASE
               WHEN lag(subj) OVER w = subj AND lag(pred) OVER w = pred
-                THEN ',' || chr(10) || '      ' || obj
+                THEN ',' || chr(10) || '  ' || obj
               WHEN lag(subj) OVER w = subj
-                THEN ';' || chr(10) || '   ' || pred || ' ' || obj
+                THEN ';' || chr(10) || ' ' || pred || ' ' || obj
               ELSE (CASE WHEN lag(subj) OVER w IS NULL THEN ''
                          ELSE ' .' || chr(10) END)
                    || subj || ' ' || pred || ' ' || obj

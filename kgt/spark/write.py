@@ -32,11 +32,13 @@ def turtle_fragments(triples: DataFrame) -> DataFrame:
     same_subj = F.lag("subj").over(w) == F.col("subj")
     same_pred = same_subj & (F.lag("pred").over(w) == F.col("pred"))
     first = F.lag("subj").over(w).isNull()
+    # continuation indents are the reference's indent(1)/indent(2) at
+    # depth 0 — one space after ';', two after ',' (streaming_writer.rb:34-37)
     frag = (
-        F.when(same_pred, F.concat(F.lit(",\n      "), F.col("obj")))
+        F.when(same_pred, F.concat(F.lit(",\n  "), F.col("obj")))
         .when(
             same_subj,
-            F.concat(F.lit(";\n   "), F.col("pred"), F.lit(" "), F.col("obj")),
+            F.concat(F.lit(";\n "), F.col("pred"), F.lit(" "), F.col("obj")),
         )
         .otherwise(
             F.concat(

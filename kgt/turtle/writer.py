@@ -736,3 +736,59 @@ def tuple_term(t):
     if t[0] == "Q":
         return ("Q", tuple_term(t[1]), tuple_term(t[2]), tuple_term(t[3]))
     return tuple(t)
+
+
+_STREAM_START = object()
+
+
+def serialize_stream(
+    statements,
+    prefixes=None,
+    base: str = "",
+    literal_shorthand: bool = True,
+    unique_bnodes: bool = False,
+    standard_prefixes: bool = False,
+    canonicalize: bool = False,
+) -> str:
+    """The reference's `stream: true` writer path
+    (streaming_writer.rb:11-48), scalar: O(1) state (current subject +
+    predicate), NO graph buffering — predicates always written as
+    terms (rdf:type is NOT shortened to 'a'), repeated subjects group
+    with ';\\n ' + predicate, repeated (subject, predicate) with
+    ',\\n  '. Stream-mode preprocess declares ALL given prefixes
+    (writer.rb:418-421 doesn't prune in stream mode).
+
+    The columnar twin is kgt.spark.write.turtle_fragments /
+    streaming_turtle (same bytes, window functions); pinned equal in
+    tests.
+    """
+    w = _PrettyWriter(
+        prefixes=prefixes,
+        base=base,
+        literal_shorthand=literal_shorthand,
+        unique_bnodes=unique_bnodes,
+        standard_prefixes=standard_prefixes,
+        canonicalize=canonicalize,
+    )
+    w._unique_labels = {}
+    # stream mode declares every candidate prefix up front
+    w.used_prefixes.update(w.candidates)
+    w.start_document()
+    w.write("\n")
+    cur_s = cur_p = _STREAM_START
+    for s, p, o in statements:
+        s, p, o = tuple_term(s), tuple_term(p), tuple_term(o)
+        if s != cur_s:
+            if cur_s is not _STREAM_START:
+                w.write(" .\n")
+            cur_s, cur_p = s, p
+            w.write(f"{w.format_term(s)} {w.format_term(p)} ")
+        elif p != cur_p:
+            cur_p = p
+            w.write(f";\n {w.format_term(p)} ")
+        else:
+            w.write(",\n  ")
+        w.write(w.format_term(o))
+    if cur_s is not _STREAM_START:
+        w.write(" .\n")
+    return "".join(w.out)

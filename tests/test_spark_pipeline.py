@@ -360,3 +360,32 @@ def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
 
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         frame_sample(media, n_frames=2, fake=False).collect()
+
+
+def test_streaming_writer_scalar_columnar_equal(spark, sf_dir):
+    """serialize_stream (scalar O(1)-state port of streaming_writer.rb)
+    and streaming_turtle (window-function columnar twin) must emit the
+    same bytes for the same statement stream."""
+    from kgt.spark.parse import extract_triples, triples
+    from kgt.spark.write import streaming_turtle
+    from kgt.spark.transcripts import orders_transcripts
+    from kgt.turtle.writer import decode_nt, serialize_stream
+
+    t = triples(
+        extract_triples(orders_transcripts(spark, sf_dir))
+    ).filter(F.col("conv_id").isin("o1", "o2", "o3"))
+    columnar = {
+        r["conv_id"]: r["ttl"] for r in streaming_turtle(t).collect()
+    }
+    rows = sorted(
+        t.collect(), key=lambda r: (r["conv_id"], r["stmt_idx"])
+    )
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(
+            (decode_nt(r["subj"]), decode_nt(r["pred"]), decode_nt(r["obj"]))
+        )
+    assert set(by_conv) == set(columnar)
+    for conv, stmts in by_conv.items():
+        scalar = serialize_stream(stmts, literal_shorthand=False)
+        assert scalar.strip() == columnar[conv].strip(), conv

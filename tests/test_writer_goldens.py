@@ -666,3 +666,73 @@ class TestRoundTrips:
         )
         lines2 = canon_bnodes(parse_nt(out, rdfstar=True))
         assert lines1 == lines2, out
+
+
+# --- stream mode (writer_spec.rb regexp_stream rows) ---------------------
+
+
+class TestStreamMode:
+    def test_full_uris(self):
+        from kgt.turtle.writer import serialize_stream
+
+        out = serialize_stream(
+            _parse("<http://a/b> <http://a/c> <http://a/d> ."),
+        )
+        assert re.search(r"^<http://a/b> <http://a/c> <http://a/d> \.$", out, re.M)
+
+    def test_bare_anon_stream(self):
+        from kgt.turtle.writer import serialize_stream
+
+        out = serialize_stream(
+            [(("B", "a"), ("I", EX + "a"), ("I", EX + "b"))],
+            prefixes={"ex": EX},
+        )
+        assert re.search(r"_:\w+ ex:a ex:b \.$", out, re.M)
+
+    def test_anon_as_subject_stream(self):
+        from kgt.turtle.writer import serialize_stream
+
+        b = ("B", "x")
+        out = serialize_stream(
+            [
+                (b, ("I", EX + "a"), ("I", EX + "b")),
+                (b, ("I", EX + "c"), ("I", EX + "d")),
+            ],
+            prefixes={"ex": EX},
+        )
+        assert re.search(r"_:\w+ ex:a ex:b;$", out, re.M)
+        assert re.search(r"^\s+ex:c ex:d \.$", out, re.M)
+
+    def test_standard_prefixes_stream_rdf_type_not_a(self):
+        from kgt.turtle.writer import serialize_stream
+
+        ttl = (
+            '<http://x/a> a <http://xmlns.com/foaf/0.1/Person>; '
+            '<http://purl.org/dc/terms/title> "Person" .'
+        )
+        out = serialize_stream(_parse(ttl), standard_prefixes=True)
+        assert re.search(
+            r"^@prefix foaf: <http://xmlns\.com/foaf/0\.1/> \.$", out, re.M
+        )
+        assert re.search(r"^@prefix dc: <http://purl\.org/dc/terms/> \.$", out, re.M)
+        # stream mode writes the predicate term — never the 'a' shorthand
+        assert re.search(r"^<http://x/a> rdf:type foaf:Person;$", out, re.M)
+        assert re.search(r'dc:title "Person" \.$', out, re.M)
+
+    def test_object_list_stream(self):
+        from kgt.turtle.writer import serialize_stream
+
+        out = serialize_stream(
+            _parse(f"@prefix ex: <{EX}> . ex:b ex:c ex:d, ex:e ."),
+            prefixes={"ex": EX},
+        )
+        assert "ex:b ex:c ex:d,\n  ex:e .\n" in out
+
+    def test_property_list_stream(self):
+        from kgt.turtle.writer import serialize_stream
+
+        out = serialize_stream(
+            _parse(f"@prefix ex: <{EX}> . ex:b ex:c ex:d; ex:e ex:f ."),
+            prefixes={"ex": EX},
+        )
+        assert "ex:b ex:c ex:d;\n ex:e ex:f .\n" in out
