@@ -1446,20 +1446,19 @@ def oracle_sql() -> dict[str, str]:
     _occ = (
         lambda w: f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
     )
-    markers = {
-        "de": ["der", "und", "die"],
-        "en": ["the", "and", "of"],
-        "es": ["el", "y", "los"],
-        "fr": ["le", "et", "les"],
-        "zh": ["的", "了", "是"],
-    }
+    # the oracle is GENERATED from the engine's marker table, so the
+    # two sides can never drift
+    from kgt.textops.quality import LANG_MARKERS as markers
+
     score_exprs = {
         lang: " + ".join(_occ(w) for w in ws) for lang, ws in markers.items()
     }
     scores_sql = ", ".join(
         f"({e}) AS s_{lang}" for lang, e in score_exprs.items()
     )
-    max_sql = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    max_sql = (
+        "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(markers)) + ")"
+    )
     first_lang = (
         "CASE "
         + " ".join(
@@ -1481,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est,
                length(text) AS n_chars
         FROM documents

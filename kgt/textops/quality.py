@@ -10,13 +10,22 @@ from pyspark.sql import DataFrame, functions as F
 from kgt.textops.dedup import normalize_text
 
 # marker words per language for the n-gram/stopword heuristic —
-# deterministic and SQL-reproducible (counts of ' word ' occurrences)
+# deterministic and SQL-reproducible (counts of ' word ' occurrences).
+# 10 languages × 8 high-frequency function words; cross-language
+# collisions are fine (argmax decides, ties break by code order).
+# The oracle SQL is GENERATED from this dict (__spark_entry__ imports
+# it), so extending coverage is a one-place change.
 LANG_MARKERS = {
-    "en": ["the", "and", "of"],
-    "de": ["der", "und", "die"],
-    "fr": ["le", "et", "les"],
-    "es": ["el", "y", "los"],
-    "zh": ["的", "了", "是"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "und", "die", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "et", "les", "des", "est", "dans", "une", "que"],
+    "es": ["el", "y", "los", "las", "es", "una", "por", "como"],
+    "it": ["il", "di", "che", "la", "per", "con", "non", "sono"],
+    "pt": ["o", "os", "das", "dos", "um", "uma", "para", "não"],
+    "nl": ["het", "een", "van", "niet", "zijn", "op", "dat", "ook"],
+    "ru": ["и", "в", "не", "на", "что", "это", "как", "его"],
+    "zh": ["的", "了", "是", "我", "不", "在", "有", "这"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て"],
 }
 
 
@@ -55,9 +64,16 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# BPE-ish lexer pattern (GPT-2-style segmentation, ASCII-safe so Java
+# and RE2 regex engines count identically): letter runs, digit runs,
+# single non-alnum glyphs
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword proxy (ceil(chars/4)) +
-    char count — the three standard budget measures."""
+    """Whitespace tokens + a BPE-ish regex token count (letter/digit
+    runs + punctuation glyphs) + the ceil(chars/4) subword proxy +
+    char count — the standard budget measures."""
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_chars = F.length(t)
@@ -66,6 +82,9 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.when(F.length(F.trim(t)) == 0, F.lit(0))
         .otherwise(ws_tokens)
         .alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
+            "re_tokens"
+        ),
         F.ceil(n_chars / 4).cast("long").alias("bpe_tokens_est"),
         n_chars.alias("n_chars"),
     )

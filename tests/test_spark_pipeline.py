@@ -389,3 +389,35 @@ def test_streaming_writer_scalar_columnar_equal(spark, sf_dir):
     for conv, stmts in by_conv.items():
         scalar = serialize_stream(stmts, literal_shorthand=False)
         assert scalar.strip() == columnar[conv].strip(), conv
+
+
+def test_language_id_ten_languages(spark):
+    """Each language's marker sentence classifies correctly; junk falls
+    back to 'und'; ties break deterministically by code order."""
+    from kgt.textops.quality import LANG_MARKERS, language_id
+
+    rows = [
+        (i, " ".join(words))
+        for i, (lang, words) in enumerate(sorted(LANG_MARKERS.items()))
+    ]
+    rows.append((99, "zzz qqq xxx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    for i, (lang, _) in enumerate(sorted(LANG_MARKERS.items())):
+        assert got[i] == lang, (lang, got[i])
+    assert got[99] == "und"
+
+
+def test_token_count_bpe_regex(spark):
+    from kgt.textops.quality import token_count
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! x2"), (2, ""), (3, "a-b_c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_count(docs).collect()}
+    # Hello , world ! x 2 → 6 regex tokens; 3 ws tokens
+    assert got[1]["re_tokens"] == 6 and got[1]["ws_tokens"] == 3
+    assert got[2]["re_tokens"] == 0 and got[2]["ws_tokens"] == 0
+    # a - b _ c → 5 (underscore is a glyph token)
+    assert got[3]["re_tokens"] == 5
