@@ -41,13 +41,16 @@ def main():
         "q1_pricing_summary",
         "q3_top_orders",
         "events_sessionize",
+        "kg_dict_links",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_near_verified",
         "sim_topk",
         "sim_topk_ivf",
         "doc_quality",
         "multimodal_decode",
+        "multimodal_frames",
     ]
 
     # warm the JVM/Arrow paths once with a tiny action
