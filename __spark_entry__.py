@@ -48,16 +48,26 @@ def _bnodes_extracted(spark, sf_dir):
     return extract_triples(customer_bnode_transcripts(spark, sf_dir))
 
 
+_shingle_cache: dict = {}
+
+
 def _dup_shingles(spark, sf_dir):
     """Shingle table of the dup corpus, materialized ONCE
     (localCheckpoint): every dedup operator fans out into 3-4 consumers
     of the same shingle stream (signatures, self-join sides, sizes,
     df-cap), and without persistence each consumer rescans the corpus —
     measured 2.5× slower at sf0.1. At 100 TB you'd persist this table
-    to storage; localCheckpoint is the single-job equivalent."""
+    to storage; localCheckpoint is the single-job equivalent. Cached
+    per (session, sf_dir) so the three dedup queries in one driver run
+    share one materialization instead of three."""
     from kgt.textops.dedup import shingles
 
-    return shingles(_dup_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+    key = (id(spark), sf_dir)
+    df = _shingle_cache.get(key)
+    if df is None:
+        df = shingles(_dup_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+        _shingle_cache[key] = df
+    return df
 
 
 def _dup_corpus(spark, sf_dir):
