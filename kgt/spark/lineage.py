@@ -96,9 +96,12 @@ def run_extraction(
     for i in range(0, len(pending), max(batch_chunks, 1)):
         batch = pending[i : i + max(batch_chunks, 1)]
         t0 = time.time()
-        part = (
-            spark.read.option("basePath", f"{out_dir}/staged")
-            .parquet(*[f"{out_dir}/staged/chunk={c}" for c in batch])
+        # partition-PRUNED read (chunk is a partition column): only the
+        # batch's chunk dirs are listed/scanned, and — unlike explicit
+        # chunk=K paths — a chunk that received zero conversations at
+        # staging time (hash imbalance at small N) doesn't fail the read
+        part = spark.read.parquet(f"{out_dir}/staged").filter(
+            F.col("chunk").isin([int(c) for c in batch])
         )
         docs = reassemble(part.select("conv_id", "turn_idx", "text"))
         if use_fastpath:
@@ -148,6 +151,22 @@ def run_extraction(
             r["chunk"]: r["count"]
             for r in part.groupBy("chunk").count().collect()
         }
+        # dynamic overwrite only replaces partitions PRESENT in the new
+        # output: a batch chunk that produced zero triples (or zero
+        # errors) must still (a) clear stale rows from an aborted
+        # earlier attempt under that chunk dir and (b) leave a
+        # schema-bearing file so read_triples never sees a directory
+        # with no parquet footers — write an empty typed frame per
+        # missing chunk, directly at the partition path
+        for c in batch:
+            if c not in tri_counts:
+                spark.createDataFrame(
+                    [], triples.drop("chunk").schema
+                ).write.mode("overwrite").parquet(f"{out_dir}/triples/chunk={c}")
+            if c not in err_counts:
+                spark.createDataFrame(
+                    [], errors.drop("chunk").schema
+                ).write.mode("overwrite").parquet(f"{out_dir}/errors/chunk={c}")
         ext.unpersist()
         if fail_on_chunk is not None and fail_on_chunk in batch:
             raise RuntimeError(

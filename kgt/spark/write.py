@@ -185,7 +185,22 @@ def materialize_triples(
     out = salted.repartition("subj_bucket", "salt")
     if path.startswith("iceberg:"):
         # lakehouse path (cluster with Iceberg jars on the classpath):
-        # identical layout via a bucket partition transform
+        # identical layout via a bucket partition transform. Guarded by
+        # an EXPLICIT capability check instead of a late classloader
+        # error: this sandbox ships no iceberg-spark-runtime jar, so the
+        # branch documents exactly what a real cluster must configure.
+        spark = triples.sparkSession
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" not in exts:
+            raise RuntimeError(
+                "iceberg: sink requires iceberg-spark-runtime on the "
+                "classpath and spark.sql.extensions="
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions plus a configured catalog "
+                "(none found in spark.sql.extensions). The parquet path "
+                "writes the identical subject-bucketed, salted layout — "
+                "use that in jar-less environments."
+            )
         table = path[len("iceberg:") :]
         writer = out.writeTo(table).using("iceberg")
         if mode == "overwrite":

@@ -50,12 +50,17 @@ _WS = re.compile(T.WS)
 # of a ws-match + token-match pair. The ws prefix is ATOMIC ((?>...),
 # Python 3.11+) so a failed token match can never backtrack INTO a
 # comment and lex its content (e.g. "# 123" must not yield INTEGER).
-_SCANNER_WS = re.compile(
-    rf"(?>{T.WS})?"
-    + "(?:"
-    + "|".join(f"(?P<{name}>{pattern})" for name, pattern in _TERMINALS)
-    + ")"
-)
+# On interpreters without atomic groups (< 3.11), tokenize falls back
+# to the two-regex loop below instead of failing at import time.
+try:
+    _SCANNER_WS = re.compile(
+        rf"(?>{T.WS})?"
+        + "(?:"
+        + "|".join(f"(?P<{name}>{pattern})" for name, pattern in _TERMINALS)
+        + ")"
+    )
+except re.error:  # pragma: no cover — Python < 3.11
+    _SCANNER_WS = None
 
 # Terminals the reference lexes with unescape: true (reader.rb:16-25).
 _UNESCAPE_TYPES = frozenset(
@@ -133,6 +138,8 @@ def tokenize(text: str) -> list:
     token; convert with ``lineno_at`` when reporting (line counting in
     the hot loop cost ~15% of lexing and only errors consume it).
     """
+    if _SCANNER_WS is None:  # pragma: no cover — Python < 3.11
+        return _tokenize_twostep(text)
     toks = []
     append = toks.append
     scan = _SCANNER_WS.match
@@ -154,6 +161,49 @@ def tokenize(text: str) -> list:
             while pos < n:
                 m2 = ws(text, pos)
                 if m2 is not None:
+                    pos = m2.end()
+                    continue
+                if scan(text, pos) is not None:
+                    break
+                pos += 1
+            continue
+        ttype = m.lastgroup
+        value = m.group(ttype)
+        end = m.end()
+        tpos = end - len(value)
+        if ttype == "PUNCT":
+            append((None, value, tpos))
+        elif ttype in unescape_types:
+            append((ttype, unescape(value), tpos))
+        else:
+            append((ttype, value, tpos))
+        pos = end
+    return toks
+
+
+def _tokenize_twostep(text: str) -> list:  # pragma: no cover — Python < 3.11
+    """Fallback lexing loop for interpreters without atomic groups:
+    explicit ws-match then token-match (the pre-fused shape). Same
+    output contract as ``tokenize``."""
+    toks = []
+    append = toks.append
+    scan = _SCANNER.match
+    ws = _WS.match
+    pos, n = 0, len(text)
+    unescape_types = _UNESCAPE_TYPES
+    while pos < n:
+        m2 = ws(text, pos)
+        if m2 is not None and m2.end() > pos:
+            pos = m2.end()
+            if pos >= n:
+                break
+        m = scan(text, pos)
+        if m is None:
+            append((ERR, text[pos : pos + 10], pos))
+            pos += 1
+            while pos < n:
+                m2 = ws(text, pos)
+                if m2 is not None and m2.end() > pos:
                     pos = m2.end()
                     continue
                 if scan(text, pos) is not None:

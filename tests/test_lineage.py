@@ -112,6 +112,49 @@ def test_batched_matches_sequential(spark, sf_dir, out_dir, tmp_path):
     assert a == b
 
 
+def test_empty_output_chunks_still_materialize(spark, out_dir):
+    """A chunk whose batch produces ZERO triples (all-bad docs) must
+    still (a) materialize a schema-bearing triples/chunk=K dir so
+    read_triples works, and (b) clear stale rows left by an aborted
+    earlier attempt under that chunk."""
+    from kgt.spark.lineage import read_triples, run_extraction, stage_input
+
+    # every doc is unparseable → 0 triples, 1+ error row per conv
+    tx = spark.createDataFrame(
+        [(f"c{i}", 0, "user", "@@ not turtle @@", None, None) for i in range(8)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    stage_input(tx, out_dir, 4)
+    # simulate an aborted earlier attempt: stale triples under chunk=0
+    stale = spark.createDataFrame(
+        [("zz", 0, "<s>", "<p>", "<o>", False)],
+        "conv_id string, stmt_idx long, subj string, pred string, "
+        "obj string, is_quoted boolean",
+    )
+    stale.write.mode("overwrite").parquet(f"{out_dir}/triples/chunk=0")
+    stats = run_extraction(spark, out_dir, "r1", n_chunks=4)
+    assert stats["chunks_run"] == 4
+    t = read_triples(spark, out_dir)  # must not fail on missing schema
+    assert t.count() == 0  # stale chunk=0 rows cleared too
+    errs = spark.read.parquet(f"{out_dir}/errors")
+    assert errs.count() >= 8
+
+
+def test_iceberg_branch_requires_jars(spark, sf_dir):
+    """The iceberg: sink raises a documented capability error in
+    jar-less environments instead of a late classloader failure."""
+    from kgt.spark.write import materialize_triples
+
+    t = spark.createDataFrame(
+        [("c1", 0, "<s>", "<p>", "<o>", False)],
+        "conv_id string, stmt_idx long, subj string, pred string, "
+        "obj string, is_quoted boolean",
+    )
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        materialize_triples(t, "iceberg:local.db.graph")
+
+
 def test_materialize_bucketed(spark, sf_dir, out_dir, tmp_path):
     from kgt.spark.lineage import read_triples, run_extraction
     from kgt.spark.write import materialize_triples
