@@ -49,6 +49,24 @@ def _bnodes_extracted(spark, sf_dir):
 
 
 _shingle_cache: dict = {}
+_recovery_cache: dict = {}
+
+
+def _recovery_extracted(spark, sf_dir):
+    """The with_errors orders extraction, materialized ONCE per
+    (session, sf_dir) — kg_recovery_quarantine and kg_recovery_triples
+    consume the same parse (one wants the E rows, one the T rows), and
+    without sharing each re-parses the full corpus. Same localCheckpoint
+    pattern as `_dup_shingles`; at 100 TB this is the staged
+    triples/errors table the lineage sink already persists."""
+    key = (id(spark), sf_dir)
+    df = _recovery_cache.get(key)
+    if df is None:
+        df = _orders_extracted(spark, sf_dir, with_errors=True).localCheckpoint(
+            eager=False
+        )
+        _recovery_cache[key] = df
+    return df
 
 
 def _dup_shingles(spark, sf_dir):
@@ -193,7 +211,7 @@ def _q_kg_recovery_quarantine(spark, sf_dir):
     from kgt.spark.parse import errors
 
     return (
-        errors(_orders_extracted(spark, sf_dir, with_errors=True))
+        errors(_recovery_extracted(spark, sf_dir))
         .select("conv_id")
         .distinct()
     )
@@ -203,7 +221,7 @@ def _q_kg_recovery_triples(spark, sf_dir):
     from kgt.spark.parse import triples
 
     return (
-        triples(_orders_extracted(spark, sf_dir, with_errors=True))
+        triples(_recovery_extracted(spark, sf_dir))
         .groupBy("conv_id")
         .agg(F.count("*").alias("n_triples"))
     )
@@ -316,14 +334,26 @@ def _q_kg_rdfstar(spark, sf_dir):
 
 
 def _q_kg_fuzzy_link(spark, sf_dir):
-    """MinHash-LSH fuzzy entity linking, oracle-checked end-to-end:
-    misspelled customer names (first char dropped) link back to the
-    canonical dictionary via char-3-gram minhash blocking + exact
-    Jaccard ≥ 0.5, best match per surface."""
-    from kgt.spark.link import fuzzy_link
+    """Banded MinHash-LSH fuzzy entity linking, oracle-checked
+    end-to-end, with the anti-join-first flow the linking module
+    documents: the surface stream mixes exact customer names (which the
+    broadcast dictionary join links directly) with misspelled ones
+    (first char dropped); only the UNLINKED tail reaches the LSH stage,
+    where char-3-gram banded minhash blocking (8 bands × 3 rows,
+    S-curve threshold = the 0.5 jaccard gate) feeds exact Jaccard ≥ 0.5
+    inside the candidate set, best match per surface. Grams shared by
+    >20% of the dictionary (the constant 'Customer#0…' prefix) are
+    df-capped out of the universe — TPC-H names are the ID-like worst
+    case where common grams both flood the LSH buckets and drown the
+    jaccard signal."""
+    from kgt.spark.link import fuzzy_link, link_mentions
 
     cust = _read(spark, sf_dir, "customer")
-    surfaces = cust.select(
+    max_df = int(cust.count() * 0.2)
+    exact = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_name").alias("surface")
+    )
+    typos = cust.select(
         F.regexp_replace("c_name", "^.", "").alias("surface")
     )
     iri_dict = cust.select(
@@ -332,7 +362,16 @@ def _q_kg_fuzzy_link(spark, sf_dir):
             F.lit("urn:cust:"), F.col("c_custkey").cast("string")
         ).alias("iri"),
     )
-    return fuzzy_link(surfaces, iri_dict, n_hashes=8, min_jaccard=0.5)
+    linked = link_mentions(exact.unionByName(typos), iri_dict)
+    unlinked = linked.filter(F.col("iri").isNull()).select("surface")
+    return fuzzy_link(
+        unlinked,
+        iri_dict,
+        n_hashes=24,
+        rows_per_band=3,
+        min_jaccard=0.5,
+        max_df=max_df,
+    )
 
 
 def _q_kg_streaming_writer(spark, sf_dir):
@@ -932,44 +971,107 @@ def oracle_sql() -> dict[str, str]:
     _pad = (
         "'  ' || trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) || '  '"
     )
+    # banded gram-minhash: 24 hashes (4 md5 lanes × 6 seeds) → 8 bands
+    # × 3 rows (S-curve threshold (1/8)^(1/3) = 0.5); grams shared by
+    # >20% of the dictionary are df-capped out of the universe —
+    # mirrors kgt.spark.link._gram_tables/_gram_sigs exactly
+    _gmins = ",\n               ".join(
+        f"min(substr(md5('s{i // 4}:' || gram), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(24)
+    )
+    _gbks = ",\n               ".join(
+        f"md5(h{3 * b} || '|' || h{3 * b + 1} || '|' || h{3 * b + 2}) AS bk{b}"
+        for b in range(8)
+    )
+    _s_band_union = "\n          UNION ALL ".join(
+        f"SELECT surface, {b} AS band, bk{b} AS mh FROM sbk" for b in range(8)
+    )
+    _d_band_union = "\n          UNION ALL ".join(
+        f"SELECT surface, iri, {b} AS band, bk{b} AS mh FROM dbk"
+        for b in range(8)
+    )
+    _knorm = "trim(regexp_replace(lower(surface), '\\s+', ' ', 'g'))"
     sqls["kg_fuzzy_link"] = f"""
-        WITH surf AS (
-          SELECT DISTINCT regexp_replace(c_name, '^.', '') AS surface FROM customer
-        ),
-        dict AS (
+        WITH dict AS (
           SELECT c_name AS surface,
                  'urn:cust:' || CAST(c_custkey AS VARCHAR) AS iri
           FROM customer
+        ),
+        surfaces AS (
+          SELECT c_name AS surface FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT regexp_replace(c_name, '^.', '') FROM customer
+        ),
+        dkeys AS (SELECT DISTINCT {_knorm} AS k FROM dict),
+        surf AS (
+          SELECT DISTINCT surface FROM surfaces
+          WHERE {_knorm} NOT IN (SELECT k FROM dkeys)
         ),
         sg AS (SELECT surface, {_grams} AS grams
                FROM (SELECT surface, {_pad} AS p FROM surf)),
         dg AS (SELECT surface, iri, {_grams} AS grams
                FROM (SELECT surface, iri, {_pad} AS p FROM dict)),
-        bands AS (SELECT unnest(generate_series(0, 7)) AS band),
-        ssig AS (
-          SELECT surface, band,
-                 min(md5(CAST(band AS VARCHAR) || ':' || gram)) AS mh
-          FROM (SELECT surface, unnest(grams) AS gram FROM sg)
-          CROSS JOIN bands GROUP BY surface, band
+        sgrams0 AS (SELECT surface, unnest(grams) AS gram FROM sg),
+        dgrams0 AS (SELECT surface, iri, unnest(grams) AS gram FROM dg),
+        hot AS (
+          SELECT gram FROM dgrams0 GROUP BY gram
+          HAVING count(*) > (SELECT count(*) * 0.2 FROM customer)
         ),
+        sgrams AS (SELECT sgrams0.* FROM sgrams0 ANTI JOIN hot USING (gram)),
+        dgrams AS (SELECT dgrams0.* FROM dgrams0 ANTI JOIN hot USING (gram)),
+        scount AS (SELECT surface, count(*) AS m FROM sgrams GROUP BY surface),
+        swide AS (
+          SELECT surface,
+               {_gmins}
+          FROM sgrams
+          WHERE surface IN (SELECT surface FROM scount WHERE m > 24)
+          GROUP BY surface
+        ),
+        sbk AS (SELECT surface, {_gbks} FROM swide),
+        ssig AS (
+          SELECT s.surface, -1 AS band, md5('g:' || s.gram) AS mh
+          FROM sgrams s
+          WHERE s.surface IN (SELECT surface FROM scount WHERE m <= 24)
+          UNION ALL
+          {_s_band_union}
+        ),
+        dwide AS (
+          SELECT surface, iri,
+               {_gmins}
+          FROM dgrams
+          GROUP BY surface, iri
+        ),
+        dbk AS (SELECT surface, iri, {_gbks} FROM dwide),
         dsig AS (
-          SELECT surface, iri, band,
-                 min(md5(CAST(band AS VARCHAR) || ':' || gram)) AS mh
-          FROM (SELECT surface, iri, unnest(grams) AS gram FROM dg)
-          CROSS JOIN bands GROUP BY surface, iri, band
+          SELECT surface, iri, -1 AS band, md5('g:' || gram) AS mh
+          FROM dgrams
+          UNION ALL
+          {_d_band_union}
         ),
         cand AS (
           SELECT DISTINCT s.surface AS m_surface, d.surface AS d_surface, d.iri
           FROM ssig s JOIN dsig d ON s.band = d.band AND s.mh = d.mh
         ),
+        ssize AS (SELECT surface, count(*) AS n_a FROM sgrams GROUP BY surface),
+        dsize AS (SELECT surface, iri, count(*) AS n_b
+                  FROM dgrams GROUP BY surface, iri),
+        common AS (
+          SELECT s.surface AS m_surface, d.surface AS d_surface, d.iri,
+                 count(*) AS n_common
+          FROM sgrams s JOIN dgrams d USING (gram)
+          GROUP BY 1, 2, 3
+        ),
+        blocked AS (
+          SELECT common.* FROM common
+          SEMI JOIN cand USING (m_surface, d_surface, iri)
+        ),
         scored AS (
-          SELECT cand.m_surface, cand.iri,
-                 CAST(len(list_intersect(sg.grams, dg.grams)) AS DOUBLE)
-                 / (len(sg.grams) + len(dg.grams)
-                    - len(list_intersect(sg.grams, dg.grams))) AS j
-          FROM cand
-          JOIN sg ON sg.surface = cand.m_surface
-          JOIN dg ON dg.surface = cand.d_surface AND dg.iri = cand.iri
+          SELECT b.m_surface, b.iri,
+                 CAST(b.n_common AS DOUBLE)
+                 / (sa.n_a + db.n_b - b.n_common) AS j
+          FROM blocked b
+          JOIN ssize sa ON sa.surface = b.m_surface
+          JOIN dsize db ON db.surface = b.d_surface AND db.iri = b.iri
         ),
         best AS (
           SELECT m_surface AS surface, iri, j,

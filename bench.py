@@ -42,6 +42,7 @@ def main():
         "q3_top_orders",
         "events_sessionize",
         "kg_dict_links",
+        "kg_fuzzy_link",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
@@ -69,19 +70,72 @@ def main():
         extra[f"{name}_rows"] = n
 
     # ANN quality: IVF recall@5 vs brute force (the bench's accuracy
-    # counterweight to the ivf speedup), plus the LSH candidate ratio
-    # (banded candidates / jaccard-confirmed pairs — 1.0 is perfect)
-    from kgt.textops.similarity import brute_force_topk, ivf_topk, recall_at_k
+    # counterweight to the ivf speedup) at nprobe 1/2/4, plus the LSH
+    # candidate ratio (banded candidates / jaccard-confirmed pairs —
+    # 1.0 is perfect)
+    from kgt.textops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+        seed_centroids,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs_df = emb.filter(emb.vec_id < 8)
-    extra["ivf_recall_at_5"] = round(
-        recall_at_k(ivf_topk(emb, qs_df, k=5), brute_force_topk(emb, qs_df, k=5)),
-        4,
-    )
+    exact5 = brute_force_topk(emb, qs_df, k=5)
+    cents = seed_centroids(emb, 16)
+    for nprobe in (1, 2, 4):
+        extra[f"ivf_recall_at_5_nprobe{nprobe}"] = round(
+            recall_at_k(
+                ivf_topk(emb, qs_df, k=5, nprobe=nprobe, centroids=cents),
+                exact5,
+            ),
+            4,
+        )
+    extra["ivf_recall_at_5"] = extra["ivf_recall_at_5_nprobe2"]
     if "dedup_ngram_jaccard_rows" in extra and extra["dedup_ngram_jaccard_rows"]:
         extra["lsh_candidate_ratio"] = round(
             extra["dedup_minhash_lsh_rows"] / extra["dedup_ngram_jaccard_rows"], 3
+        )
+
+    # NO SILENT CAPS: report exactly what the dedup skew guards dropped
+    # this run (df-capped shingles; quarantined SimHash buckets) — zero
+    # on this corpus, but the claim is now measured, not assumed
+    from kgt.textops.dedup import cap_stats, simhash64, simhash_bucket_stats
+
+    sh_cap = cap_stats(entrymod._dup_shingles(spark, sf_dir), max_df=1000).first()
+    extra["capped_shingles"] = sh_cap["capped_shingles"]
+    extra["capped_shingle_rows"] = sh_cap["capped_shingle_rows"]
+    sim_cap = simhash_bucket_stats(
+        simhash64(entrymod._dup_corpus(spark, sf_dir)), bucket_cap=10000
+    ).first()
+    extra["simhash_quarantined_buckets"] = sim_cap["quarantined_buckets"]
+    extra["simhash_quarantined_bucket_rows"] = sim_cap["quarantined_bucket_rows"]
+
+    # fuzzy-link blocking audit: candidate volume (df-bounded by the
+    # gram cap), ratio vs linked surfaces, and blocking RECALL (linked
+    # typos / typo surfaces — the reason the hybrid blocking exists)
+    from kgt.spark.link import _gram_tables, fuzzy_candidates
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    surf = cust.select(F.regexp_replace("c_name", "^.", "").alias("surface"))
+    fdict = cust.select(
+        F.col("c_name").alias("surface"),
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")).alias(
+            "iri"
+        ),
+    )
+    sg, dg = _gram_tables(surf, fdict, max_df=int(cust.count() * 0.2))
+    n_cand = fuzzy_candidates(sg, dg).count()
+    n_surf = surf.distinct().count()
+    extra["fuzzy_link_candidates"] = n_cand
+    if extra.get("kg_fuzzy_link_rows"):
+        extra["fuzzy_link_candidate_ratio"] = round(
+            n_cand / extra["kg_fuzzy_link_rows"], 3
+        )
+        extra["fuzzy_link_blocking_recall"] = round(
+            extra["kg_fuzzy_link_rows"] / n_surf, 4
         )
 
     # turns/sec: the north-rule throughput metric over the parse path

@@ -130,8 +130,9 @@ def _char3grams(col):
     )
 
 
-def _gram_sigs(df, id_cols, n_hashes: int, rows_per_band: int):
-    """BANDED char-gram MinHash signatures: (id_cols..., band, mh).
+def _gram_sigs(gram_rows, id_cols, n_hashes: int, rows_per_band: int):
+    """BANDED char-gram MinHash signatures from exploded (id…, gram)
+    rows: (id_cols..., band, mh).
 
     Same geometry as kgt.textops.dedup.minhash_signatures — n_hashes
     independent min-md5 lanes (4 lanes per md5: 8 hex chars each, so
@@ -146,7 +147,6 @@ def _gram_sigs(df, id_cols, n_hashes: int, rows_per_band: int):
     if n_hashes % rows_per_band:
         raise ValueError("n_hashes must be a multiple of rows_per_band")
     n_bands = n_hashes // rows_per_band
-    g = df.select(*id_cols, F.explode("grams").alias("gram"))
     aggs = [
         F.min(
             F.substring(
@@ -157,7 +157,7 @@ def _gram_sigs(df, id_cols, n_hashes: int, rows_per_band: int):
         ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sig = g.groupBy(*id_cols).agg(*aggs)
+    sig = gram_rows.groupBy(*id_cols).agg(*aggs)
     band_keys = [
         F.md5(
             F.concat_ws(
@@ -172,18 +172,92 @@ def _gram_sigs(df, id_cols, n_hashes: int, rows_per_band: int):
     )
 
 
+def _gram_tables(
+    unlinked_surfaces: DataFrame, iri_dict: DataFrame, max_df: int | None
+):
+    """Exploded, optionally df-capped gram tables for both sides:
+    sg(surface, gram), dg(surface, iri, gram).
+
+    The df-cap is the dedup family's boilerplate guard applied to
+    LINKING: grams shared by more than max_df DICTIONARY entries (a
+    constant name prefix, zero-padding runs) carry no discriminative
+    signal but dominate both the LSH buckets and the verify join — one
+    hot gram is an O(df²) key. Dropping them from the UNIVERSE (both
+    sides: signatures, intersection, set sizes) is the standard
+    stopword semantics; document frequency is computed on the
+    dictionary side, which is dimension-bounded, so the cap list
+    broadcasts. A surface whose grams are ALL capped has no signature
+    and simply stays unlinked.
+    """
+    sg = (
+        unlinked_surfaces.select("surface")
+        .distinct()
+        .withColumn("grams", _char3grams(F.col("surface")))
+        .select("surface", F.explode("grams").alias("gram"))
+    )
+    dg = iri_dict.select(
+        "surface", "iri", F.explode(_char3grams(F.col("surface"))).alias("gram")
+    )
+    if max_df is not None:
+        hot = (
+            dg.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("gram")
+        )
+        sg = sg.join(F.broadcast(hot), "gram", "left_anti")
+        dg = dg.join(F.broadcast(hot), "gram", "left_anti")
+    return sg, dg
+
+
 def fuzzy_candidates(
-    surfaces: DataFrame,
-    dict_grams: DataFrame,
-    n_hashes: int = 16,
-    rows_per_band: int = 2,
+    sg: DataFrame,
+    dg: DataFrame,
+    n_hashes: int = 24,
+    rows_per_band: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs (m_surface, surface, iri) between surface
-    grams and dictionary grams — the blocking stage of fuzzy_link,
-    exposed so callers can report the candidate count / ratio
-    (no-silent-caps: blocking selectivity is a measured quantity)."""
-    ss = _gram_sigs(surfaces, ["surface"], n_hashes, rows_per_band)
-    ds = _gram_sigs(dict_grams, ["surface", "iri"], n_hashes, rows_per_band)
+    """Hybrid blocking candidates (m_surface, surface, iri) between
+    surface grams sg(surface, gram) and dictionary grams
+    dg(surface, iri, gram) — exposed so callers can report the
+    candidate count / ratio (no-silent-caps: blocking selectivity is a
+    measured quantity).
+
+    Mixed granularity: a surface with ≤ n_hashes kept grams blocks on
+    the grams THEMSELVES (band -1, one key per gram) — MinHash over a
+    handful of grams has enough variance to miss true pairs
+    (P ≈ 1-(1-j^r)^b leaves a deterministic 5-30% hole at j≈0.5-0.7
+    on 3-8 gram sets), while exact-gram keys are variance-free and,
+    on a df-capped universe, bounded: each kept gram joins at most
+    max_df dictionary entries (the stopword-removal bound, same as
+    common-token blocking in the ER literature). Longer surfaces use
+    banded MinHash (the dedup geometry) — there the signature variance
+    is negligible and per-gram keys would multiply candidates. The
+    dictionary side emits BOTH key kinds (it is dimension-bounded), so
+    either surface class finds its match.
+    """
+    s_counts = sg.groupBy("surface").agg(F.count("*").alias("_m"))
+    sg2 = sg.join(s_counts, "surface")
+    gram_key = lambda g: F.md5(F.concat(F.lit("g:"), g))  # noqa: E731
+    ss_short = sg2.filter(F.col("_m") <= n_hashes).select(
+        "surface",
+        F.lit(-1).alias("band"),
+        gram_key(F.col("gram")).alias("mh"),
+    )
+    ss_long = _gram_sigs(
+        sg2.filter(F.col("_m") > n_hashes).select("surface", "gram"),
+        ["surface"],
+        n_hashes,
+        rows_per_band,
+    )
+    ss = ss_short.unionByName(ss_long)
+    ds = _gram_sigs(dg, ["surface", "iri"], n_hashes, rows_per_band).unionByName(
+        dg.select(
+            "surface",
+            "iri",
+            F.lit(-1).alias("band"),
+            gram_key(F.col("gram")).alias("mh"),
+        )
+    )
     return (
         ss.withColumnRenamed("surface", "m_surface")
         .join(ds, ["band", "mh"])
@@ -195,34 +269,56 @@ def fuzzy_candidates(
 def fuzzy_link(
     unlinked_surfaces: DataFrame,
     iri_dict: DataFrame,
-    n_hashes: int = 16,
-    rows_per_band: int = 2,
+    n_hashes: int = 24,
+    rows_per_band: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Char-3-gram banded-MinHash blocking between UNLINKED surfaces and
-    dict surfaces, then exact 3-gram Jaccard ≥ threshold, best match per
-    surface. Input: (surface); output (surface, iri, jaccard).
+    dict surfaces, then exact gram-Jaccard ≥ threshold inside the
+    candidate set, best match per surface. Input: (surface); output
+    (surface, iri, jaccard).
 
     Feed this only the surfaces the exact broadcast join left unlinked
-    (link_mentions → filter iri IS NULL): the LSH self-join then sees
-    the typo tail, not the whole corpus. Defaults: 16 hashes in 8 bands
-    × 2 rows — for ~20-gram surfaces, j=0.9 true matches collide w.p.
-    ~0.9998 while j=0.1 noise collides w.p. ~0.077.
+    (link_mentions → filter iri IS NULL): the LSH join then sees the
+    typo tail, not the whole corpus. Defaults: 24 hashes in 8 bands ×
+    3 rows, whose LSH S-curve threshold (1/b)^(1/r) = 0.5 sits exactly
+    on the default jaccard gate — j=0.9 matches collide w.p. ~1,
+    j=0.2 noise w.p. ~0.06. For ID-like dictionaries (constant prefix,
+    zero padding) pass ``max_df``: common grams leave the universe
+    (see _gram_tables), which both collapses the candidate set toward
+    the true pair set and makes the jaccard discriminative.
+
+    The verify stage runs on the df-capped gram join SEMI-JOINED to the
+    LSH candidates (the dedup_near_verified shape): the exact join only
+    ever scores pairs the blocking admitted.
     """
-    s = unlinked_surfaces.select("surface").distinct().withColumn(
-        "grams", _char3grams(F.col("surface"))
+    sg, dg = _gram_tables(unlinked_surfaces, iri_dict, max_df)
+    cand = fuzzy_candidates(sg, dg, n_hashes, rows_per_band)
+    s_sizes = sg.groupBy("surface").agg(F.count("*").alias("n_a"))
+    d_sizes = dg.groupBy("surface", "iri").agg(F.count("*").alias("n_b"))
+    common = (
+        sg.withColumnRenamed("surface", "m_surface")
+        .join(dg.withColumnRenamed("surface", "d_surface"), "gram")
+        .groupBy("m_surface", "d_surface", "iri")
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            cand.withColumnRenamed("surface", "d_surface"),
+            ["m_surface", "d_surface", "iri"],
+            "left_semi",
+        )
     )
-    d = iri_dict.select("surface", "iri").withColumn(
-        "grams", _char3grams(F.col("surface"))
-    )
-    cand = fuzzy_candidates(s, d, n_hashes, rows_per_band)
     scored = (
-        cand.join(s.withColumnRenamed("surface", "m_surface").select("m_surface", F.col("grams").alias("ga")), "m_surface")
-        .join(d.select("surface", F.col("grams").alias("gb")), "surface")
+        common.join(
+            s_sizes.withColumnRenamed("surface", "m_surface"), "m_surface"
+        )
+        .join(
+            d_sizes.withColumnRenamed("surface", "d_surface"),
+            ["d_surface", "iri"],
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("ga", "gb"))
-            / F.size(F.array_union("ga", "gb")),
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -88,6 +88,10 @@ def cap_shingle_df(shingle_df: DataFrame, max_df: int) -> DataFrame:
     re-shuffled. This is the skew guard for every shingle self-join:
     a boilerplate shingle shared by millions of documents would
     otherwise be a single O(df²) hot key.
+
+    NO SILENT CAPS: ``cap_stats`` reports exactly what this drops —
+    run it alongside (bench does) so "covered everything" is a
+    measured claim, not an assumption.
     """
     hot = (
         shingle_df.groupBy("shingle")
@@ -96,6 +100,27 @@ def cap_shingle_df(shingle_df: DataFrame, max_df: int) -> DataFrame:
         .select("shingle")
     )
     return shingle_df.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def cap_stats(shingle_df: DataFrame, max_df: int) -> DataFrame:
+    """One-row audit of the df-cap: (capped_shingles, capped_shingle_rows)
+    — distinct shingles dropped from the universe and (doc, shingle)
+    rows they carried. Same groupBy the cap itself runs; with the
+    shingle table persisted (the _dup_shingles/bench pattern, or a
+    staged table at 100 TB) the marginal cost is one small aggregate.
+    Spark's Observation API would avoid the second job but breaks when
+    the observed node is duplicated by self-joins/exchange-reuse, so
+    the audit is an explicit tiny action instead of a silent maybe.
+    """
+    return (
+        shingle_df.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .agg(
+            F.count(F.lit(1)).alias("capped_shingles"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("capped_shingle_rows"),
+        )
+    )
 
 
 def minhash_signatures(
@@ -268,6 +293,41 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _simhash_chunks(sim_df: DataFrame) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo, chunk_idx, chunk): the 4×16-bit chunk
+    decomposition of each fingerprint — the blocking keys."""
+    chunk_exprs = [
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
+    return sim_df.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
+    )
+
+
+def simhash_bucket_stats(sim_df: DataFrame, bucket_cap: int = 10000) -> DataFrame:
+    """One-row audit of the SimHash bucket quarantine:
+    (quarantined_buckets, quarantined_bucket_rows) — over-cap chunk
+    buckets dropped from blocking and the membership rows they held.
+    The explicit-tiny-action counterpart of ``cap_stats`` (see there
+    for why this is not an Observation)."""
+    return (
+        _simhash_chunks(sim_df)
+        .groupBy("chunk_idx", "chunk")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .agg(
+            F.count(F.lit(1)).alias("quarantined_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("quarantined_bucket_rows"),
+        )
+    )
+
+
 def simhash_near_pairs(
     sim_df: DataFrame, max_hamming: int = 3, bucket_cap: int = 10000
 ) -> DataFrame:
@@ -284,24 +344,18 @@ def simhash_near_pairs(
     degenerate regions (empty/boilerplate docs collapsing to one
     fingerprint) where one bucket would otherwise do O(cap²)+ work.
     The cap check is one groupBy + a broadcast anti-join.
+
+    NO SILENT CAPS: ``simhash_bucket_stats`` reports what the cap
+    quarantines — zero until the corpus actually degenerates, but at
+    100 TB the count is the difference between "lossless for
+    hamming ≤ 3" and "lossless except where we looked away".
     """
     if max_hamming > 3:
         raise ValueError(
             "4-chunk blocking is only complete for max_hamming <= 3; "
             "use more chunks (Manku rotations) for a wider radius"
         )
-    chunk_exprs = [
-        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
-    ]
-    chunks = sim_df.select(
-        "doc_id",
-        "sim_hi",
-        "sim_lo",
-        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
-    )
+    chunks = _simhash_chunks(sim_df)
     big = (
         chunks.groupBy("chunk_idx", "chunk")
         .agg(F.count("*").alias("n"))

@@ -155,6 +155,74 @@ def _cell_ranking(vec_col, centroids):
     return F.transform(ranked, lambda s: -s["ncid"])
 
 
+def _cells_df(spark, centroids):
+    """Centroids as a broadcast-able DataFrame (cid, cv, cn) with norms
+    precomputed driver-side the same way the literal path does (Python
+    float left-to-right sum, then sqrt) so both paths round to
+    IDENTICAL sims."""
+    import math
+
+    rows = []
+    for cid, cv in centroids:
+        cn = 0.0
+        for x in cv:
+            cn += float(x) * float(x)
+        rows.append((int(cid), [float(x) for x in cv], math.sqrt(cn)))
+    return spark.createDataFrame(rows, "cid int, cv array<double>, cn double")
+
+
+def _rank_cells_join(df, id_name, vec_name, norm_name, centroids, nprobe):
+    """Broadcast-join cell ranking — the LITERAL path's scale twin.
+
+    ``_cell_ranking`` rides the centroid table into the plan as
+    literals: elegant and shuffle-free, but the codegen expression is
+    O(n_cells)-ary — fine at 16-256 cells, an expression-tree explosion
+    at a realistic 4k-64k. Above that crossover the centroids belong in
+    a BROADCAST join: explode df × cells inside the join stage (rows
+    never hit disk), then reduce to top-nprobe cells per vector with a
+    map-side-combinable aggregate — the shuffle carries N rows, not
+    N·C. nprobe=1 (base-side assignment) uses a plain max; nprobe>1
+    (query side, small by construction) collects and slices.
+
+    Returns df with an exploded ``cid`` column (one row per probed
+    cell), same contract as the literal path.
+    """
+    cells = F.broadcast(_cells_df(df.sparkSession, centroids))
+    scored = df.crossJoin(cells).withColumn(
+        "_csim",
+        F.round(
+            dot(F.col(vec_name), F.col("cv"))
+            / (F.col(norm_name) * F.col("cn")),
+            6,
+        ),
+    )
+    pick = F.struct(
+        F.col("_csim").alias("sim"), (-F.col("cid")).cast("int").alias("ncid")
+    )
+    if nprobe == 1:
+        agg = scored.groupBy(id_name).agg(
+            F.first(vec_name).alias(vec_name),
+            F.first(norm_name).alias(norm_name),
+            F.max(pick).alias("_top"),
+        )
+        return agg.select(
+            id_name, vec_name, norm_name, (-F.col("_top.ncid")).alias("cid")
+        )
+    agg = scored.groupBy(id_name).agg(
+        F.first(vec_name).alias(vec_name),
+        F.first(norm_name).alias(norm_name),
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list(pick))), 1, nprobe
+        ).alias("_top"),
+    )
+    return agg.select(
+        id_name,
+        vec_name,
+        norm_name,
+        F.explode(F.transform("_top", lambda s: -s["ncid"])).alias("cid"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -164,44 +232,56 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
+    literal_max_cells: int = 256,
 ) -> DataFrame:
     """IVF ANN: base vectors live in their nearest Voronoi cell
-    (nprobe=1 assignment, a shuffle-free projection); each query probes
-    its nprobe nearest cells; candidates meet in an equi-join on cid.
+    (nprobe=1 assignment); each query probes its nprobe nearest cells;
+    candidates meet in an equi-join on cid.
 
     At scale this is O(N·Q·nprobe/n_cells) scored pairs instead of
-    O(N·Q), the base side is never shuffled (queries broadcast, cell
-    assignment is codegen), and recall is the standard IVF tradeoff —
-    measured against brute_force_topk in tests (recall@k report).
+    O(N·Q), the base side is never shuffled on the literal path
+    (queries broadcast, cell assignment is codegen), and recall is the
+    standard IVF tradeoff — measured against brute_force_topk in tests
+    (recall@k report).
+
+    ``assign`` picks the cell-assignment strategy: 'literal' (centroids
+    as plan literals — zero shuffle, O(n_cells) expression size),
+    'join' (broadcast-join + map-side-combined top-cell reduce — one
+    partial-agg shuffle of N rows, constant expression size), or
+    'auto' = literal up to ``literal_max_cells`` cells, join above.
+    Both paths produce bit-identical sims (tests pin the agreement).
 
     centroids defaults to the deterministic seed quantizer (oracle-
     reproducible); pass train_centroids(...) output for k-means cells.
     """
     if centroids is None:
         centroids = seed_centroids(embeddings, n_cells, id_col, vec_col)
+    if assign == "auto":
+        assign = "literal" if len(centroids) <= literal_max_cells else "join"
+    if assign not in ("literal", "join"):
+        raise ValueError(f"unknown assign strategy: {assign!r}")
 
-    e = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("ev"),
-        )
-        .withColumn("en", norm(F.col("ev")))
-        .withColumn("cid", _cell_ranking(F.col("ev"), centroids)[0])
-    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("ev"),
+    ).withColumn("en", norm(F.col("ev")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
 
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-        )
-        .withColumn("qn", norm(F.col("qv")))
-        .withColumn(
+    if assign == "literal":
+        e = e.withColumn("cid", _cell_ranking(F.col("ev"), centroids)[0])
+        q = q.withColumn(
             "cid",
             F.explode(
                 F.slice(_cell_ranking(F.col("qv"), centroids), 1, nprobe)
             ),
         )
-    )
+    else:
+        e = _rank_cells_join(e, "neighbor_id", "ev", "en", centroids, 1)
+        q = _rank_cells_join(q, "query_id", "qv", "qn", centroids, nprobe)
 
     scored = (
         e.join(F.broadcast(q), "cid")

@@ -143,6 +143,47 @@ def test_simhash_bucket_cap_quarantines_degenerate_bucket(spark):
     assert out == {(100, 101)}
 
 
+def test_cap_drop_volumes_are_observable(spark):
+    """NO SILENT CAPS: when the df-cap and the SimHash bucket cap
+    actually fire, the dropped volumes are reported by the stats
+    audits — the counts a 100-TB run must surface."""
+    from kgt.textops.dedup import cap_stats, simhash_bucket_stats
+
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} alpha{i} bravo{i} charlie{i}") for i in range(20)]
+    sh = shingles(_corpus(spark, rows))
+    got = cap_stats(sh, max_df=10).first()
+    # the boilerplate prefix contributes 8 within-boiler 3-shingles with
+    # df=20 each; the bridge shingles spanning into the per-doc tail are
+    # unique → exactly 8 shingles capped, 20 rows each
+    assert got["capped_shingles"] == 8
+    assert got["capped_shingle_rows"] == 160
+    # and the cap itself removes exactly those rows from the universe
+    assert sh.count() - cap_shingle_df(sh, 10).count() == 160
+
+    deg = [(i, "same exact degenerate text") for i in range(40)]
+    deg += [(100, "rare distinctive marsupial nocturnal burrow")]
+    sim = simhash64(_corpus(spark, deg))
+    got2 = simhash_bucket_stats(sim, bucket_cap=10).first()
+    # 40 identical fingerprints → all 4 chunk buckets over-cap
+    assert got2["quarantined_buckets"] == 4
+    assert got2["quarantined_bucket_rows"] == 160
+
+
+def test_cap_stats_zero_when_nothing_fires(spark):
+    from kgt.textops.dedup import cap_stats, simhash_bucket_stats
+
+    sh = shingles(_corpus(spark, UNIQUE))
+    got = cap_stats(sh, max_df=1000).first()
+    assert got["capped_shingles"] == 0
+    assert got["capped_shingle_rows"] == 0
+    got2 = simhash_bucket_stats(
+        simhash64(_corpus(spark, UNIQUE)), bucket_cap=10000
+    ).first()
+    assert got2["quarantined_buckets"] == 0
+    assert got2["quarantined_bucket_rows"] == 0
+
+
 def test_simhash_matches_duckdb_bit_construction(spark):
     """The md5→two-32-bit-halves construction must be reproducible in
     SQL (the oracle depends on it): recompute one doc's fingerprint in

@@ -69,6 +69,41 @@ def test_ivf_kmeans_centroids_recall(emb, queries):
     assert r > 2 / 8, r
 
 
+def test_ivf_join_assignment_agrees_with_literal(emb, queries):
+    """The broadcast-join assignment path (for cell counts past the
+    literal-expression crossover) must produce EXACTLY the literal
+    path's output — same cells, same sims, same ranks."""
+    cents = seed_centroids(emb, 16)
+    lit = ivf_topk(
+        emb, queries, k=5, nprobe=2, centroids=cents, assign="literal"
+    )
+    jn = ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents, assign="join")
+    rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in df.collect()
+    )
+    assert rows(lit) == rows(jn)
+
+
+def test_ivf_auto_crossover_picks_join_path(emb, queries):
+    """assign='auto' must switch to the join path above
+    literal_max_cells (the documented expression-size crossover), and
+    reject unknown strategies."""
+    cents = seed_centroids(emb, 8)
+    out = ivf_topk(
+        emb,
+        queries,
+        k=3,
+        nprobe=1,
+        centroids=cents,
+        assign="auto",
+        literal_max_cells=4,  # 8 cells > 4 → join path
+    )
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="unknown assign"):
+        ivf_topk(emb, queries, k=3, centroids=cents, assign="bogus")
+
+
 def test_seed_centroids_deterministic(emb):
     a = seed_centroids(emb, 4)
     b = seed_centroids(emb, 4)

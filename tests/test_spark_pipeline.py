@@ -132,6 +132,61 @@ def test_fuzzy_link(spark):
     assert "zzzz" not in got
 
 
+def test_fuzzy_link_hybrid_blocking(spark):
+    """Short surfaces (≤ n_hashes kept grams) block on exact gram keys
+    — variance-free, so a true near-match can NEVER be missed by
+    minhash luck; long surfaces go through banded LSH, which must find
+    high-jaccard pairs and suppress disjoint ones."""
+    from kgt.spark.link import _gram_tables, fuzzy_candidates, fuzzy_link
+
+    long_a = " ".join(f"tok{i}" for i in range(30))
+    long_b = " ".join(f"tok{i}" for i in range(29)) + " tokX"  # high j
+    unrelated = " ".join(f"zzz{i}" for i in range(30))  # disjoint
+    surfaces = spark.createDataFrame(
+        [(long_b,), ("cart",)], "surface string"
+    )
+    d = spark.createDataFrame(
+        [(long_a, "urn:e:long"), (unrelated, "urn:e:other"), ("card", "urn:e:card")],
+        "surface string, iri string",
+    )
+    got = {r["surface"]: r["iri"] for r in fuzzy_link(surfaces, d, min_jaccard=0.3).collect()}
+    assert got.get(long_b) == "urn:e:long"  # LSH path found the near-dup
+    assert got.get("cart") == "urn:e:card"  # gram-key path: j=3/9≈0.33
+    # blocking suppresses the disjoint pair entirely
+    sg, dg = _gram_tables(surfaces, d, None)
+    cand = {
+        (r["m_surface"], r["iri"]) for r in fuzzy_candidates(sg, dg).collect()
+    }
+    assert (long_b, "urn:e:other") not in cand
+
+
+def test_fuzzy_link_df_cap_recall_on_id_like_names(spark):
+    """ID-like dictionaries (constant prefix + serial digits) are the
+    LSH worst case: every cross pair shares most grams. The df-cap
+    removes the constant prefix from the universe, and the hybrid
+    gram-key blocking then links every typo to its right entry."""
+    from kgt.spark.link import fuzzy_link
+    from pyspark.sql import functions as F
+
+    n = 60
+    d = spark.createDataFrame(
+        [(f"Account#{i:07d}", f"urn:a:{i}") for i in range(n)],
+        "surface string, iri string",
+    )
+    typos = d.select(
+        F.regexp_replace("surface", "^.", "").alias("surface"), "iri"
+    )
+    got = {
+        r["surface"]: r["iri"]
+        for r in fuzzy_link(
+            typos.select("surface"), d, min_jaccard=0.5, max_df=n // 5
+        ).collect()
+    }
+    want = {r["surface"]: r["iri"] for r in typos.collect()}
+    hits = sum(1 for s, iri in want.items() if got.get(s) == iri)
+    assert hits == n, f"linked {hits}/{n}"
+
+
 def test_multimodal_stub_raises_without_fake(spark, sf_dir):
     from kgt.textops.multimodal import decode_features, to_media
 
