@@ -85,6 +85,25 @@ def parse_batch(
     parser.validate_raises = False
     out = {c: [] for c in TRIPLES_COLUMNS}
     app = {c: out[c].append for c in TRIPLES_COLUMNS}
+    # NT-encoding memo for conv-independent terms (everything except
+    # bnodes / quoted triples, whose skolem labels depend on conv_id):
+    # repeated predicates/namespace IRIs/common literals encode once per
+    # batch instead of once per statement. The parser's IRI memo hands
+    # back the SAME tuple objects, so hashing the key is cheap.
+    enc_memo: dict = {}
+
+    def enc(term, conv_id):
+        kind = term[0]
+        if kind == "B" or kind == "Q":
+            return _encode_term(term, conv_id, skolem_salt)
+        got = enc_memo.get(term)
+        if got is None:
+            got = nt_encode(term)
+            if len(enc_memo) > 262144:
+                enc_memo.clear()
+            enc_memo[term] = got
+        return got
+
     for conv_id, text in zip(conv_ids, texts):
         if text is None:
             text = ""
@@ -95,9 +114,9 @@ def parse_batch(
             app["conv_id"](conv_id)
             app["stmt_idx"](idx)
             app["kind"]("T")
-            app["subj"](_encode_term(s, conv_id, skolem_salt))
-            app["pred"](_encode_term(p, conv_id, skolem_salt))
-            app["obj"](_encode_term(o, conv_id, skolem_salt))
+            app["subj"](enc(s, conv_id))
+            app["pred"](enc(p, conv_id))
+            app["obj"](enc(o, conv_id))
             app["is_quoted"](s[0] == "Q" or o[0] == "Q")
             app["lineno"](None)
             app["production"](None)

@@ -128,6 +128,16 @@ class TurtleParser:
         self._anon_counter = 0
         self._prod_stack = []
         self.recovering = False
+        # IRI-term memo: machine-generated corpora repeat predicates and
+        # namespace IRIs across statements AND documents (the parser
+        # instance is reused per Arrow batch), so resolve/validate each
+        # distinct (base, raw-iri) once. Keyed by base because @base can
+        # change resolution mid-document; disabled in validate mode
+        # (validation wants the per-occurrence error bookkeeping).
+        # Survives across parse() calls on purpose; bounded in
+        # _process_iri.
+        if not hasattr(self, "_iri_memo"):
+            self._iri_memo = {}
 
         # statement-level fast path: the overwhelmingly common token
         # shapes (simple triples with ;/, lists, well-formed @prefix /
@@ -424,9 +434,24 @@ class TurtleParser:
     def _process_iri(self, iri: str):
         """Resolve against base; validate/canonicalize flags
         (reader.rb:181-191)."""
+        if not self.validate:
+            key = (self.base, iri)
+            got = self._iri_memo.get(key)
+            if got is not None:
+                return got
+            raw = iri
+            if not urilib.is_absolute(iri) and self.base:
+                iri = urilib.resolve(self.base, iri)
+            if self.intern:
+                iri = _sys.intern(iri)
+            term = ("I", iri)
+            if len(self._iri_memo) > 262144:  # bound batch-lifetime growth
+                self._iri_memo.clear()
+            self._iri_memo[(self.base, raw)] = term
+            return term
         if not urilib.is_absolute(iri) and self.base:
             iri = urilib.resolve(self.base, iri)
-        if self.validate and not urilib.is_absolute(iri):
+        if not urilib.is_absolute(iri):
             self._error(f"relative IRI without base: {iri!r}", "process_iri")
         if self.intern:
             iri = _sys.intern(iri)
