@@ -68,9 +68,9 @@ except re.error:  # pragma: no cover — Python < 3.11
 # ~2× in the hot loop (measured: name lookup + lastgroup cost ~15% of
 # tokenize). _EMIT[i] is the emitted token type (None for PUNCT, the
 # string-terminal convention); _UNESC[i] marks unescape:true terminals.
+_EMIT = [None] * (len(_TERMINALS) + 1)
+_UNESC = [False] * (len(_TERMINALS) + 1)
 if _SCANNER_WS is not None:
-    _EMIT = [None] * (len(_TERMINALS) + 1)
-    _UNESC = [False] * (len(_TERMINALS) + 1)
     for _name, _ in _TERMINALS:
         _gi = _SCANNER_WS.groupindex[_name]
         _EMIT[_gi] = None if _name == "PUNCT" else _name

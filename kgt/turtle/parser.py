@@ -32,7 +32,14 @@ checks needed; SURVEY §7.3.2 deviation note).
 from __future__ import annotations
 
 from kgt.turtle import uri as urilib
-from kgt.turtle.lexer import LexerError, TokenStream
+from kgt.turtle.lexer import (
+    _SCANNER_WS as _FUSED,
+    _UNESC as _UNESC_TABLE,
+    _WS as _WS_RE,
+    LexerError,
+    TokenStream,
+    unescape as _lex_unescape,
+)
 from kgt.turtle import terms as tm
 from kgt.turtle.terms import (
     RDF_FIRST,
@@ -49,6 +56,32 @@ import re
 import sys as _sys
 
 _PN_LOCAL_ESC_RE = re.compile(r"\\([_~.\-!$&'()*+,;=/?#@%])")
+_DOT_E_RE = re.compile(r"\.([eE])")
+
+# fused-scanner group indices (terminals are top-level alternatives, so
+# Match.lastindex identifies the terminal; see kgt.turtle.lexer)
+if _FUSED is not None:
+    _GI = _FUSED.groupindex
+    _IX_ANON = _GI["ANON"]
+    _IX_BNODE = _GI["BLANK_NODE_LABEL"]
+    _IX_IRIREF = _GI["IRIREF"]
+    _IX_DOUBLE = _GI["DOUBLE"]
+    _IX_DECIMAL = _GI["DECIMAL"]
+    _IX_INTEGER = _GI["INTEGER"]
+    _IX_PNAME_LN = _GI["PNAME_LN"]
+    _IX_PNAME_NS = _GI["PNAME_NS"]
+    _IX_LSQ = _GI["STRING_LITERAL_LONG_SINGLE_QUOTE"]
+    _IX_LQ = _GI["STRING_LITERAL_LONG_QUOTE"]
+    _IX_SQ = _GI["STRING_LITERAL_QUOTE"]
+    _IX_SSQ = _GI["STRING_LITERAL_SINGLE_QUOTE"]
+    _IX_PUNCT = _GI["PUNCT"]
+    _IX_PREFIX = _GI["PREFIX"]
+    _IX_BASE = _GI["BASE"]
+    _IX_LANG = _GI["LANG_DIR"]
+
+
+class _Bail(Exception):
+    """Abort the document fast pass; the full machinery re-parses."""
 
 
 class ParseError(Exception):
@@ -116,10 +149,6 @@ class TurtleParser:
         errors: list of (lineno, production, message).
         Raises ParseError in validate mode if any error was logged.
         """
-        self.lexer = TokenStream(text)
-        # hot-path: skip the _first/_shift indirection (bound methods)
-        self._first = self.lexer.first
-        self._shift = self.lexer.shift
         self.prefixes = dict(self.initial_prefixes)
         self.base = self.base_uri
         self.statements = []
@@ -139,17 +168,37 @@ class TurtleParser:
         if not hasattr(self, "_iri_memo"):
             self._iri_memo = {}
 
-        # statement-level fast path: the overwhelmingly common token
-        # shapes (simple triples with ;/, lists, well-formed @prefix /
-        # @base) parse in a flat loop with no production machinery; ANY
-        # anomaly (bnode property lists, collections, RDF-star, bad
-        # tokens, directive-form violations) rewinds the cursor and
-        # discards the statement's buffered emissions, and the full
-        # recursive-descent path re-parses from the same position — so
-        # recovery/error semantics are byte-identical to the slow path.
-        # validate mode always takes the slow path (it wants the exact
-        # error bookkeeping).
+        # document-level fast path (the multi-statement scanner): the
+        # common token shapes parse in ONE pass straight off the fused
+        # lexer regex — no token list is materialized and no second
+        # walk happens. ANY anomaly anywhere in the document discards
+        # the whole fast pass and the document re-parses from scratch
+        # through the machinery below, so recovery/error semantics are
+        # byte-identical. Documents are conversation-sized, so the
+        # double-lex on anomaly is bounded and rare (error docs only).
         use_fast = not self.validate
+        if use_fast and _FUSED is not None:
+            self.lexer = None  # _error must not read a stale lexer
+            if self._fast_parse_doc(text):
+                return self.statements, self.errors
+            # reset everything the aborted fast pass may have touched
+            self.prefixes = dict(self.initial_prefixes)
+            self.base = self.base_uri
+            self.statements = []
+            self.errors = []
+            self._bnode_cache = {}
+            self._anon_counter = 0
+            self.recovering = False
+
+        self.lexer = TokenStream(text)
+        self._first = self.lexer.first
+        self._shift = self.lexer.shift
+
+        # statement-level fast path: same idea at statement granularity
+        # — feeds the anomaly documents, so only the anomalous statement
+        # pays for the production machinery; rewind keeps semantics
+        # byte-identical to the slow path. validate mode always takes
+        # the slow path (it wants the exact error bookkeeping).
         while True:
             if use_fast and self._fast_statement():
                 continue
@@ -169,6 +218,191 @@ class TurtleParser:
                 f"{self.errors[:3]}"
             )
         return self.statements, self.errors
+
+    # -- document-level fast path (multi-statement scanner) ---------------
+
+    def _fast_parse_doc(self, text: str) -> bool:
+        """Scan-parse the whole document in ONE pass over the fused
+        lexer regex: statements of the common shapes (simple triples
+        with ';'/',' lists, well-formed directives, all literal forms)
+        are assembled straight from match objects — no token list, no
+        second walk. Returns True iff the ENTIRE document committed;
+        any anomaly (bnode property lists, collections, RDF-star,
+        malformed directives, illegal tokens, strict-grammar violations
+        like ',,') raises _Bail and the caller re-parses from scratch,
+        so anomaly documents behave byte-identically to the slow path.
+        """
+        scan = _FUSED.match
+        wsm = _WS_RE.match
+        unesc_table = _UNESC_TABLE
+        unescape = _lex_unescape
+        n = len(text)
+        pos = 0
+        pend = None  # one-token pushback: (lastindex, value)
+        stmts = self.statements
+        append = stmts.append
+        process_iri = self._process_iri
+        literal = self._literal
+        err0 = len(self.errors)
+
+        def nxt():
+            nonlocal pos, pend
+            if pend is not None:
+                t = pend
+                pend = None
+                return t
+            m = scan(text, pos)
+            if m is None:
+                w = wsm(text, pos)
+                if w is not None:
+                    pos = w.end()
+                if pos >= n:
+                    return (-1, None)  # clean EOF
+                raise _Bail
+            li = m.lastindex
+            v = m.group(li)
+            pos = m.end()
+            if unesc_table[li] and "\\" in v:
+                v = unescape(v)
+            return (li, v)
+
+        def pname_term(v):
+            pfx, _, sfx = v.partition(":")
+            return self._pname(pfx, sfx)
+
+        def iri_term(li, v, allow_bnode):
+            """subject/verb/datatype position: IRI-ish terms only."""
+            if li == _IX_IRIREF:
+                return process_iri(v[1:-1])
+            if li == _IX_PNAME_LN or li == _IX_PNAME_NS:
+                return pname_term(v)
+            if allow_bnode and li == _IX_BNODE:
+                return self._bnode(v[2:])
+            raise _Bail
+
+        try:
+            while True:
+                li, v = nxt()
+                if li == -1:
+                    return True  # clean EOF: whole document committed
+                if li == _IX_PREFIX or li == _IX_BASE:
+                    # mirror _fast_directive exactly: '@'-forms demand a
+                    # '.', bare SPARQL forms reject one, other casings
+                    # bail for the slow path's error bookkeeping
+                    if li == _IX_PREFIX:
+                        pli, pv = nxt()
+                        if pli != _IX_PNAME_NS:
+                            raise _Bail
+                        ili, iv = nxt()
+                        if ili != _IX_IRIREF:
+                            raise _Bail
+                        dli, dv = nxt()
+                        dot = dli == _IX_PUNCT and dv == "."
+                        if v == "@prefix":
+                            if not dot:
+                                raise _Bail
+                        elif v == "prefix" or v == "PREFIX":
+                            if dot:
+                                raise _Bail
+                            pend = (dli, dv) if dli != -1 else None
+                        else:
+                            raise _Bail
+                        self.prefixes[pv[:-1]] = process_iri(iv[1:-1])[1]
+                    else:
+                        ili, iv = nxt()
+                        if ili != _IX_IRIREF:
+                            raise _Bail
+                        dli, dv = nxt()
+                        dot = dli == _IX_PUNCT and dv == "."
+                        if v == "@base":
+                            if not dot:
+                                raise _Bail
+                        elif v == "base" or v == "BASE":
+                            if dot:
+                                raise _Bail
+                            pend = (dli, dv) if dli != -1 else None
+                        else:
+                            raise _Bail
+                        self.base = process_iri(iv[1:-1])[1]
+                    continue
+
+                subject = iri_term(li, v, True)
+                buf = []
+                bapp = buf.append
+                while True:  # predicateObjectList
+                    li, v = nxt()
+                    if li == _IX_PUNCT and (v == "a" or v == "A"):
+                        verb = RDF_TYPE
+                    else:
+                        verb = iri_term(li, v, False)
+                    while True:  # objectList
+                        li, v = nxt()
+                        if li == _IX_IRIREF:
+                            obj = process_iri(v[1:-1])
+                        elif li == _IX_PNAME_LN or li == _IX_PNAME_NS:
+                            obj = pname_term(v)
+                        elif li == _IX_BNODE:
+                            obj = self._bnode(v[2:])
+                        elif li == _IX_INTEGER:
+                            obj = literal(v, datatype=XSD_INTEGER)
+                        elif li == _IX_DECIMAL:
+                            if v.startswith("."):
+                                v = "0" + v
+                            obj = literal(v, datatype=XSD_DECIMAL)
+                        elif li == _IX_DOUBLE:
+                            obj = literal(
+                                _DOT_E_RE.sub(r".0\1", v), datatype=XSD_DOUBLE
+                            )
+                        elif li == _IX_PUNCT and (v == "true" or v == "false"):
+                            obj = literal(v, datatype=XSD_BOOLEAN)
+                        elif li == _IX_SQ or li == _IX_SSQ or li == _IX_LQ or li == _IX_LSQ:
+                            body = v[1:-1] if (li == _IX_SQ or li == _IX_SSQ) else v[3:-3]
+                            lli, lv = nxt()
+                            if lli == _IX_LANG:
+                                lang_dir = lv[1:]
+                                if "--" in lang_dir:
+                                    lang, direction = lang_dir.split("--", 1)
+                                else:
+                                    lang, direction = lang_dir, None
+                                obj = literal(body, lang=lang, direction=direction)
+                            elif lli == _IX_PUNCT and lv == "^^":
+                                dli, dv = nxt()
+                                obj = literal(
+                                    body, datatype=iri_term(dli, dv, False)[1]
+                                )
+                            else:
+                                pend = (lli, lv) if lli != -1 else None
+                                obj = literal(body)
+                        else:
+                            raise _Bail
+                        bapp((subject, verb, obj))
+                        sli, sv = nxt()
+                        if sli != _IX_PUNCT:
+                            raise _Bail
+                        if sv == ",":
+                            continue
+                        break
+                    if sv == ".":
+                        stmts.extend(buf)
+                        break
+                    if sv == ";":
+                        # repeated ';' is grammar-legal; a trailing ';'
+                        # before '.' closes the statement
+                        while True:
+                            sli, sv = nxt()
+                            if not (sli == _IX_PUNCT and sv == ";"):
+                                break
+                        if sli == _IX_PUNCT and sv == ".":
+                            stmts.extend(buf)
+                            break
+                        pend = (sli, sv) if sli != -1 else None
+                        if sli == -1:
+                            raise _Bail
+                        continue
+                    raise _Bail
+        except (_Bail, _SyntaxErr):
+            del self.errors[err0:]
+            return False
 
     # -- statement-level fast path ---------------------------------------
 
@@ -369,10 +603,17 @@ class TurtleParser:
     # -- infrastructure ---------------------------------------------------
 
     def _error(self, message: str, production: str = "", token=None):
-        # tokens carry char offsets; line numbers materialize only here
-        lineno = (
-            self.lexer.lineno_of(token) if token is not None else self.lexer.lineno
-        )
+        # tokens carry char offsets; line numbers materialize only here.
+        # lexer is None during the document fast pass — those errors are
+        # discarded on bail, so the placeholder lineno is never surfaced.
+        if self.lexer is None:
+            lineno = 0
+        else:
+            lineno = (
+                self.lexer.lineno_of(token)
+                if token is not None
+                else self.lexer.lineno
+            )
         self.errors.append((lineno, production, message))
         self.recovering = True
         raise _SyntaxErr(message)
