@@ -97,3 +97,92 @@ def test_bad_must_fail(name, action, result):
     parser.validate_raises = False
     _, errs = parser.parse(ttl)
     assert errs, f"{name} parsed clean but the manifest says it must fail"
+
+
+# ---------------------------------------------------------------------
+# Vendored rdf12 Turtle-star snapshot (W3C-style manifest vocabulary) —
+# the reference's spec/star_spec.rb:9-11 drives the remote
+# rdf12/rdf-turtle syntax+eval manifests; this is the same pattern over
+# a local snapshot, with rdft:Test* types instead of result-presence
+# deciding the test mode.
+# ---------------------------------------------------------------------
+
+RDFT = "http://www.w3.org/ns/rdftest#"
+VENDOR = os.path.join(os.path.dirname(__file__), "vendor", "rdf12-star")
+
+
+def _load_w3c_manifest(path):
+    """Parse a W3C-vocabulary manifest with OUR parser: entries are an
+    rdf:List of IRIs; each entry has rdf:type rdft:TestTurtle*,
+    mf:name, mf:action (file IRI) and, for eval tests, mf:result.
+    Returns [(name, kind, action_file, result_file_or_None)]."""
+    stmts, errs = TurtleParser().parse(open(path, encoding="utf-8").read())
+    assert not errs, errs[:3]
+    by_subject = {}
+    for s, p, o in stmts:
+        by_subject.setdefault(s, {}).setdefault(p[1], []).append(o)
+    cur = by_subject[("I", "")][MF + "entries"][0]
+    out = []
+    while cur != ("I", RDF + "nil"):
+        props = by_subject[cur]
+        e = props[RDF + "first"][0]
+        ep = by_subject[e]
+        kind = ep[RDF + "type"][0][1].removeprefix(RDFT)
+        name = ep[MF + "name"][0][1]
+        action = ep[MF + "action"][0][1]
+        result = ep.get(MF + "result")
+        out.append((name, kind, action, result[0][1] if result else None))
+        cur = props[RDF + "rest"][0]
+    return out
+
+
+STAR = _load_w3c_manifest(os.path.join(VENDOR, "manifest.ttl"))
+STAR_POS = [t for t in STAR if t[1] == "TestTurtlePositiveSyntax"]
+STAR_NEG = [t for t in STAR if t[1] == "TestTurtleNegativeSyntax"]
+STAR_EVAL = [t for t in STAR if t[1] == "TestTurtleEval"]
+
+
+def test_star_manifest_enumerates_the_snapshot():
+    assert len(STAR_POS) >= 12 and len(STAR_NEG) >= 7 and len(STAR_EVAL) >= 6
+    assert all(r for *_, r in STAR_EVAL)
+
+
+@pytest.mark.parametrize(
+    "name,kind,action,result", STAR_POS, ids=[t[0] for t in STAR_POS]
+)
+def test_star_positive_syntax(name, kind, action, result):
+    ttl = open(os.path.join(VENDOR, action), encoding="utf-8").read()
+    parser = TurtleParser(validate=True, rdfstar=True)
+    parser.validate_raises = False
+    stmts, errs = parser.parse(ttl)
+    assert not errs, errs[:3]
+    assert stmts
+
+
+@pytest.mark.parametrize(
+    "name,kind,action,result", STAR_NEG, ids=[t[0] for t in STAR_NEG]
+)
+def test_star_negative_syntax(name, kind, action, result):
+    ttl = open(os.path.join(VENDOR, action), encoding="utf-8").read()
+    parser = TurtleParser(validate=True, rdfstar=True)
+    parser.validate_raises = False
+    _, errs = parser.parse(ttl)
+    assert errs, f"{name} parsed clean but must fail"
+
+
+@pytest.mark.parametrize(
+    "name,kind,action,result", STAR_EVAL, ids=[t[0] for t in STAR_EVAL]
+)
+def test_star_eval(name, kind, action, result):
+    ttl = open(os.path.join(VENDOR, action), encoding="utf-8").read()
+    golden = open(os.path.join(VENDOR, result), encoding="utf-8").read()
+    stmts, errs = TurtleParser(rdfstar=True).parse(ttl)
+    assert not errs, errs[:3]
+    got = canon_bnodes(
+        sorted(
+            unescape(f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .")
+            for s, p, o in stmts
+        )
+    )
+    want = canon_bnodes(sorted(unescape(line) for line in normalize_nt(golden)))
+    assert got == want
