@@ -581,6 +581,33 @@ def _q_kg_pretty_writer(spark, sf_dir):
     return pretty_turtle(t, prefixes={"p": "urn:p:", "c": "urn:cust:"})
 
 
+def _q_kg_pretty_nested(spark, sf_dir):
+    """Second pretty-writer hash gate: NESTED bnode property lists
+    (two levels) plus two collections per subject, derived from
+    supplier — pins the deeper recursion of the layout algorithm
+    (indent stacking, ';' placement inside nested [ ], list rendering
+    at both nesting depths, alphabetical property sort at each level)
+    that the bnodes-corpus gate can't see."""
+    from kgt.spark.parse import parse_documents, triples
+    from kgt.spark.write import pretty_turtle
+
+    sup = _read(spark, sf_dir, "supplier")
+    key = F.col("s_suppkey").cast("string")
+    doc = F.concat(
+        F.lit("@prefix p: <urn:p:> .\n@prefix s: <urn:supp:> .\n"),
+        F.lit("s:"), key,
+        F.lit(' p:info [ p:contact [ p:name "'), F.col("s_name"),
+        F.lit('" ; p:bal '), F.floor("s_acctbal").cast("long").cast("string"),
+        F.lit(' ] ; p:tags ("x" "n'), F.col("s_nationkey").cast("string"),
+        F.lit('") ] ; p:alts ("a" "b") .\n'),
+    )
+    docs = sup.select(
+        F.concat(F.lit("sp"), key).alias("conv_id"), doc.alias("text")
+    )
+    t = triples(parse_documents(docs))
+    return pretty_turtle(t, prefixes={"p": "urn:p:", "s": "urn:supp:"})
+
+
 def _q5_region_revenue(spark, sf_dir):
     """5-table star join: broadcast the dimension chain, shuffle only
     the fact tables."""
@@ -867,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "kg_canonicalize": _q_kg_canonicalize,
         "kg_pretty_writer": _q_kg_pretty_writer,
+        "kg_pretty_nested": _q_kg_pretty_nested,
         "q5_region_revenue": _q5_region_revenue,
         "q_supplier_topk_per_nation": _q_supplier_topk_per_nation,
         "q_events_windowed": _q_events_windowed,
@@ -1226,6 +1254,25 @@ def oracle_sql() -> dict[str, str]:
                '  ];' || chr(10) ||
                '  p:tags ("A" "' || c_name || '" c:' || CAST(c_custkey AS VARCHAR) || ') .' || chr(10) AS ttl
         FROM customer
+    """
+
+    # nested recursion gate: every supplier doc has the same graph
+    # shape (outer [ ] holding an inner [ ] + a list, plus a top-level
+    # list), so the full document text — indents, ';' placement,
+    # per-level alphabetical property order — is SQL-constructible
+    sqls["kg_pretty_nested"] = """
+        SELECT 'sp' || CAST(s_suppkey AS VARCHAR) AS conv_id,
+               '@prefix p: <urn:p:> .' || chr(10) ||
+               '@prefix s: <urn:supp:> .' || chr(10) || chr(10) ||
+               's:' || CAST(s_suppkey AS VARCHAR) || ' p:alts ("a" "b");' || chr(10) ||
+               '  p:info [' || chr(10) ||
+               '    p:contact [' || chr(10) ||
+               '      p:bal ' || CAST(CAST(FLOOR(s_acctbal) AS BIGINT) AS VARCHAR) || ';' || chr(10) ||
+               '      p:name "' || s_name || '"' || chr(10) ||
+               '    ];' || chr(10) ||
+               '    p:tags ("x" "n' || CAST(s_nationkey AS VARCHAR) || '")' || chr(10) ||
+               '  ] .' || chr(10) AS ttl
+        FROM supplier
     """
 
     sqls["q5_region_revenue"] = """
