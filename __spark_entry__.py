@@ -794,6 +794,32 @@ def _q_dedup_simhash(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup with IVF cell blocking: the corpus is
+    embeddings ∪ exact copies (id%5, +10^6) ∪ one-component
+    perturbations (id%7, +2·10^6 — first component ×1.1, cosine just
+    under 1), every vector multi-probes its 2 nearest Voronoi cells,
+    and exact cosine runs only inside cells. Oracle mirrors the seed
+    quantizer, probing, and rounding bit-for-bit."""
+    from kgt.textops.similarity import embedding_near_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    copies = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    pert = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * 1.1),
+            F.slice("embedding", 2, 100000),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(copies).unionByName(pert)
+    return embedding_near_pairs(corpus, threshold=0.9, n_cells=16, nprobe=2)
+
+
 def _q_sim_topk(spark, sf_dir):
     from kgt.textops.similarity import brute_force_topk
 
@@ -907,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_near_verified": _q_dedup_near_verified,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "doc_langid": _q_doc_langid,
@@ -1543,6 +1570,45 @@ def oracle_sql() -> dict[str, str]:
         "round(list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
     )
+
+    # embedding near-dup: same seed-quantizer + rounded-cosine cell
+    # ranking as sim_topk_ivf, multi-probe (rn <= 2) on BOTH sides,
+    # exact cosine inside shared cells only — mirrors
+    # kgt.textops.similarity.embedding_near_pairs
+    _ecos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sqls["dedup_embedding"] = f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 1000000, v FROM base WHERE vec_id % 5 = 0
+          UNION ALL
+          SELECT vec_id + 2000000, [v[1] * 1.1] || v[2:] FROM base
+          WHERE vec_id % 7 = 0
+        ),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+          FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+        ),
+        rnk AS (
+          SELECT c.vec_id, s.cid, c.v,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_ecos.format(a="c.v", b="s.cv")} DESC, s.cid ASC) AS rn
+          FROM corpus c CROSS JOIN seeds s
+        ),
+        assigned AS (SELECT vec_id, cid, v FROM rnk WHERE rn <= 2),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_ecos.format(a="a.v", b="b.v")} AS sim
+          FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.9
+    """
+
     sqls["sim_topk"] = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (

@@ -304,6 +304,64 @@ def ivf_topk(
     )
 
 
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
+    vec_a < vec_b and rounded cosine ≥ threshold.
+
+    Scale shape: every vector lands in its ``nprobe`` nearest Voronoi
+    cells (multi-probe on BOTH sides — two near-identical vectors that
+    straddle a cell boundary still meet in each other's second cell),
+    pairs meet in an equi-join on cid, and the exact cosine runs only
+    inside cells — O(Σ|cell|²·nprobe²) instead of O(N²). The standard
+    recall/cost dial is (n_cells, nprobe); the brute-force truth is the
+    same join with one cell. Assignment strategy as in ivf_topk
+    (literal centroids under the crossover, broadcast join above).
+    """
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_cells, id_col, vec_col)
+    if assign == "auto":
+        assign = "literal" if len(centroids) <= 256 else "join"
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    if assign == "literal":
+        e = e.withColumn(
+            "cid",
+            F.explode(F.slice(_cell_ranking(F.col("v"), centroids), 1, nprobe)),
+        )
+    else:
+        e = _rank_cells_join(e, "vid", "v", "vn", centroids, nprobe)
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Fraction of exact top-k pairs the approximate search recovered."""
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()

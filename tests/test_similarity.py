@@ -104,6 +104,34 @@ def test_ivf_auto_crossover_picks_join_path(emb, queries):
         ivf_topk(emb, queries, k=3, centroids=cents, assign="bogus")
 
 
+def test_embedding_near_pairs_blocked(emb, spark):
+    """Cell-blocked embedding near-dup: exact copies share every probed
+    cell, so they can NEVER be missed; every reported sim equals the
+    unblocked cosine; random unrelated vectors stay below threshold."""
+    from kgt.textops.similarity import embedding_near_pairs
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(copies)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_near_pairs(
+            corpus, threshold=0.9, n_cells=8, nprobe=2
+        ).collect()
+    }
+    n_copies = copies.count()
+    exact_pairs = {k for k in got if k[1] - k[0] == 1000}
+    assert len(exact_pairs) == n_copies  # every copy found
+    assert all(got[k] == 1.0 for k in exact_pairs)
+    # no random-vector pair sneaks past the threshold
+    assert all(v >= 0.9 for v in got.values())
+
+
 def test_seed_centroids_deterministic(emb):
     a = seed_centroids(emb, 4)
     b = seed_centroids(emb, 4)
