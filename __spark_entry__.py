@@ -1074,19 +1074,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         sgrams AS (SELECT sgrams0.* FROM sgrams0 ANTI JOIN hot USING (gram)),
         dgrams AS (SELECT dgrams0.* FROM dgrams0 ANTI JOIN hot USING (gram)),
+        dfs AS (SELECT gram, count(*) AS df FROM dgrams GROUP BY gram),
         scount AS (SELECT surface, count(*) AS m FROM sgrams GROUP BY surface),
+        sprefix AS (
+          SELECT surface, gram FROM (
+            SELECT s.surface, s.gram,
+                   row_number() OVER (PARTITION BY s.surface
+                     ORDER BY coalesce(d.df, 0), s.gram) AS rn,
+                   count(*) OVER (PARTITION BY s.surface) AS m
+            FROM sgrams s LEFT JOIN dfs d USING (gram)
+          ) WHERE rn <= m - ceil(0.5 * m) + 1
+        ),
+        dprefix AS (
+          SELECT surface, iri, gram FROM (
+            SELECT g.surface, g.iri, g.gram,
+                   row_number() OVER (PARTITION BY g.surface, g.iri
+                     ORDER BY coalesce(d.df, 0), g.gram) AS rn,
+                   count(*) OVER (PARTITION BY g.surface, g.iri) AS m
+            FROM dgrams g LEFT JOIN dfs d USING (gram)
+          ) WHERE rn <= m - ceil(0.5 * m) + 1
+        ),
         swide AS (
           SELECT surface,
                {_gmins}
           FROM sgrams
-          WHERE surface IN (SELECT surface FROM scount WHERE m > 24)
+          WHERE surface IN (SELECT surface FROM scount WHERE m > 64)
           GROUP BY surface
         ),
         sbk AS (SELECT surface, {_gbks} FROM swide),
         ssig AS (
           SELECT s.surface, -1 AS band, md5('g:' || s.gram) AS mh
-          FROM sgrams s
-          WHERE s.surface IN (SELECT surface FROM scount WHERE m <= 24)
+          FROM sprefix s
+          WHERE s.surface IN (SELECT surface FROM scount WHERE m <= 64)
           UNION ALL
           {_s_band_union}
         ),
@@ -1099,7 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         dbk AS (SELECT surface, iri, {_gbks} FROM dwide),
         dsig AS (
           SELECT surface, iri, -1 AS band, md5('g:' || gram) AS mh
-          FROM dgrams
+          FROM dprefix
           UNION ALL
           {_d_band_union}
         ),
@@ -1107,26 +1126,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT s.surface AS m_surface, d.surface AS d_surface, d.iri
           FROM ssig s JOIN dsig d ON s.band = d.band AND s.mh = d.mh
         ),
-        ssize AS (SELECT surface, count(*) AS n_a FROM sgrams GROUP BY surface),
-        dsize AS (SELECT surface, iri, count(*) AS n_b
-                  FROM dgrams GROUP BY surface, iri),
-        common AS (
-          SELECT s.surface AS m_surface, d.surface AS d_surface, d.iri,
-                 count(*) AS n_common
-          FROM sgrams s JOIN dgrams d USING (gram)
-          GROUP BY 1, 2, 3
-        ),
-        blocked AS (
-          SELECT common.* FROM common
-          SEMI JOIN cand USING (m_surface, d_surface, iri)
-        ),
+        sarr AS (SELECT surface, list(gram) AS ga FROM sgrams GROUP BY surface),
+        darr AS (SELECT surface, iri, list(gram) AS gb
+                 FROM dgrams GROUP BY surface, iri),
         scored AS (
-          SELECT b.m_surface, b.iri,
-                 CAST(b.n_common AS DOUBLE)
-                 / (sa.n_a + db.n_b - b.n_common) AS j
-          FROM blocked b
-          JOIN ssize sa ON sa.surface = b.m_surface
-          JOIN dsize db ON db.surface = b.d_surface AND db.iri = b.iri
+          SELECT c.m_surface, c.iri,
+                 CAST(len(list_intersect(sa.ga, da.gb)) AS DOUBLE)
+                 / (len(sa.ga) + len(da.gb)
+                    - len(list_intersect(sa.ga, da.gb))) AS j
+          FROM cand c
+          JOIN sarr sa ON sa.surface = c.m_surface
+          JOIN darr da ON da.surface = c.d_surface AND da.iri = c.iri
         ),
         best AS (
           SELECT m_surface AS surface, iri, j,

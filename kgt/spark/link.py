@@ -14,7 +14,7 @@ to the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kgt.textops.dedup import normalize_text
 
@@ -210,11 +210,44 @@ def _gram_tables(
     return sg, dg
 
 
+def _prefix_grams(gram_rows, id_cols, gram_df, t: float):
+    """Restrict exploded (id…, gram) rows to each entity's PREFIX: its
+    p rarest grams in a single global (df, gram) order, with
+    p = m − ⌈t·m⌉ + 1 for an m-gram entity.
+
+    This is prefix filtering (SSJoin/PPJoin): two sets with jaccard ≥ t
+    MUST share at least one prefix gram under a consistent global
+    order, so blocking on prefixes alone is EXACT for the verify
+    threshold — no minhash variance — while candidates shrink from
+    "every shared gram" to "shared RARE gram": the moderately-common
+    grams (df in the hundreds-to-thousands) that turn all-gram blocking
+    into Σ df² pair explosions never enter a prefix. df comes from the
+    dictionary side (dimension-bounded, broadcast); grams unseen there
+    rank rarest and match nothing.
+    """
+    g = gram_rows.join(F.broadcast(gram_df), "gram", "left").withColumn(
+        "_df", F.coalesce(F.col("df"), F.lit(0))
+    )
+    w = Window.partitionBy(*id_cols).orderBy("_df", "gram")
+    wc = Window.partitionBy(*id_cols)
+    return (
+        g.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("_rn")
+            <= F.col("_m") - F.ceil(F.lit(float(t)) * F.col("_m")) + 1
+        )
+        .select(*id_cols, "gram")
+    )
+
+
 def fuzzy_candidates(
     sg: DataFrame,
     dg: DataFrame,
     n_hashes: int = 24,
     rows_per_band: int = 3,
+    prefix_t: float = 0.5,
+    prefix_max_grams: int = 64,
 ) -> DataFrame:
     """Hybrid blocking candidates (m_surface, surface, iri) between
     surface grams sg(surface, gram) and dictionary grams
@@ -222,36 +255,37 @@ def fuzzy_candidates(
     candidate count / ratio (no-silent-caps: blocking selectivity is a
     measured quantity).
 
-    Mixed granularity: a surface with ≤ n_hashes kept grams blocks on
-    the grams THEMSELVES (band -1, one key per gram) — MinHash over a
-    handful of grams has enough variance to miss true pairs
-    (P ≈ 1-(1-j^r)^b leaves a deterministic 5-30% hole at j≈0.5-0.7
-    on 3-8 gram sets), while exact-gram keys are variance-free and,
-    on a df-capped universe, bounded: each kept gram joins at most
-    max_df dictionary entries (the stopword-removal bound, same as
-    common-token blocking in the ER literature). Longer surfaces use
-    banded MinHash (the dedup geometry) — there the signature variance
-    is negligible and per-gram keys would multiply candidates. The
-    dictionary side emits BOTH key kinds (it is dimension-bounded), so
-    either surface class finds its match.
+    Mixed granularity: an entity with ≤ prefix_max_grams kept grams
+    blocks on its PREFIX grams (see _prefix_grams — exact for
+    jaccard ≥ prefix_t, variance-free where MinHash over small sets
+    leaves a deterministic recall hole, and immune to the Σ df²
+    explosion of all-gram blocking). Longer surfaces use banded
+    MinHash (the dedup geometry) — there prefixes grow linearly while
+    signatures stay fixed-size. The dictionary side emits BOTH key
+    kinds (it is dimension-bounded), so either surface class finds its
+    match.
     """
+    gram_df = dg.groupBy("gram").agg(F.count("*").alias("df"))
     s_counts = sg.groupBy("surface").agg(F.count("*").alias("_m"))
     sg2 = sg.join(s_counts, "surface")
     gram_key = lambda g: F.md5(F.concat(F.lit("g:"), g))  # noqa: E731
-    ss_short = sg2.filter(F.col("_m") <= n_hashes).select(
-        "surface",
-        F.lit(-1).alias("band"),
-        gram_key(F.col("gram")).alias("mh"),
+    ss_short = _prefix_grams(
+        sg2.filter(F.col("_m") <= prefix_max_grams).select("surface", "gram"),
+        ["surface"],
+        gram_df,
+        prefix_t,
+    ).select(
+        "surface", F.lit(-1).alias("band"), gram_key(F.col("gram")).alias("mh")
     )
     ss_long = _gram_sigs(
-        sg2.filter(F.col("_m") > n_hashes).select("surface", "gram"),
+        sg2.filter(F.col("_m") > prefix_max_grams).select("surface", "gram"),
         ["surface"],
         n_hashes,
         rows_per_band,
     )
     ss = ss_short.unionByName(ss_long)
     ds = _gram_sigs(dg, ["surface", "iri"], n_hashes, rows_per_band).unionByName(
-        dg.select(
+        _prefix_grams(dg, ["surface", "iri"], gram_df, prefix_t).select(
             "surface",
             "iri",
             F.lit(-1).alias("band"),
@@ -273,6 +307,7 @@ def fuzzy_link(
     rows_per_band: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Char-3-gram banded-MinHash blocking between UNLINKED surfaces and
     dict surfaces, then exact gram-Jaccard ≥ threshold inside the
@@ -289,36 +324,37 @@ def fuzzy_link(
     (see _gram_tables), which both collapses the candidate set toward
     the true pair set and makes the jaccard discriminative.
 
-    The verify stage runs on the df-capped gram join SEMI-JOINED to the
-    LSH candidates (the dedup_near_verified shape): the exact join only
-    ever scores pairs the blocking admitted.
+    The verify stage scores ONLY the candidate pairs: each side's
+    capped gram set is collected to an array once, the candidate list
+    joins both arrays (dictionary side broadcast), and jaccard is an
+    array_intersect per pair — O(|candidates|) work, never the
+    Σ df_s·df_d gram-join blowup that scoring via a shared-gram
+    groupBy costs when moderately-common grams survive the cap.
+
+    ``materialize`` localCheckpoints the gram tables: four plan
+    branches consume them (df ranking, prefixes/signatures, arrays ×2)
+    and without persistence each branch re-derives grams from the
+    source — measured ~1.7× slower at sf0.1. At 100 TB the gram tables
+    would be a staged intermediate anyway.
     """
     sg, dg = _gram_tables(unlinked_surfaces, iri_dict, max_df)
-    cand = fuzzy_candidates(sg, dg, n_hashes, rows_per_band)
-    s_sizes = sg.groupBy("surface").agg(F.count("*").alias("n_a"))
-    d_sizes = dg.groupBy("surface", "iri").agg(F.count("*").alias("n_b"))
-    common = (
-        sg.withColumnRenamed("surface", "m_surface")
-        .join(dg.withColumnRenamed("surface", "d_surface"), "gram")
-        .groupBy("m_surface", "d_surface", "iri")
-        .agg(F.count("*").alias("n_common"))
-        .join(
-            cand.withColumnRenamed("surface", "d_surface"),
-            ["m_surface", "d_surface", "iri"],
-            "left_semi",
-        )
-    )
+    if materialize:
+        sg = sg.localCheckpoint(eager=False)
+        dg = dg.localCheckpoint(eager=False)
+    cand = fuzzy_candidates(sg, dg, n_hashes, rows_per_band, min_jaccard)
+    s_arr = sg.groupBy("surface").agg(F.collect_list("gram").alias("ga"))
+    d_arr = dg.groupBy("surface", "iri").agg(F.collect_list("gram").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
     scored = (
-        common.join(
-            s_sizes.withColumnRenamed("surface", "m_surface"), "m_surface"
-        )
+        cand.withColumnRenamed("surface", "d_surface")
+        .join(s_arr.withColumnRenamed("surface", "m_surface"), "m_surface")
         .join(
-            d_sizes.withColumnRenamed("surface", "d_surface"),
+            F.broadcast(d_arr.withColumnRenamed("surface", "d_surface")),
             ["d_surface", "iri"],
         )
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            inter / (F.size("ga") + F.size("gb") - inter),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
