@@ -144,9 +144,15 @@ def main():
 
     tx = orders_transcripts(spark, sf_dir, with_errors=True).cache()
     n_turns = tx.count()  # materialize input so we time parse, not gen
-    t0 = time.perf_counter()
-    n_rows = extract_triples(tx).count()
-    parse_sec = time.perf_counter() - t0
+    # min-of-2: the single-shot number wandered ±50% across sessions on
+    # identical code (the pinned A/B in BENCH.md is the ground truth);
+    # two samples inside one session cut the variance the driver sees
+    parse_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_rows = extract_triples(tx).count()
+        dt = time.perf_counter() - t0
+        parse_sec = dt if parse_sec is None else min(parse_sec, dt)
     tx.unpersist()
     extra["n_turns"] = n_turns
     extra["parse_rows"] = n_rows
