@@ -380,6 +380,15 @@ class TurtleParser:
                         if sli != _IX_PUNCT:
                             raise _Bail
                         if sv == ",":
+                            # repeated ',' collapses, like the reference
+                            # (reader.rb:362)
+                            while True:
+                                sli, sv = nxt()
+                                if not (sli == _IX_PUNCT and sv == ","):
+                                    break
+                            pend = (sli, sv) if sli != -1 else None
+                            if sli == -1:
+                                raise _Bail
                             continue
                         break
                     if sv == ".":
@@ -522,6 +531,8 @@ class TurtleParser:
                         return self._rewind(i0, err0, rec0)
                     sv = st[1]
                     if sv == ",":
+                        # repeated ',' collapses, like the reference
+                        # (reader.rb:362 shifts while the lookahead is ',')
                         while i < n and toks[i][0] is None and toks[i][1] == ",":
                             i += 1
                         continue

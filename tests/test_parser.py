@@ -532,3 +532,29 @@ class TestReaderOptionParity:
     def test_intern_off_by_default(self):
         p = TurtleParser()
         assert p.intern is False
+
+
+class TestRepeatedSeparators:
+    """The reference collapses runs of ',' and ';' (reader.rb:362,
+    reader.rb:344-ish predicateObjectList) — all three parse paths
+    (document scanner, statement fast path, recursive descent) must
+    agree on that."""
+
+    def test_repeated_commas_collapse(self):
+        from kgt.turtle import TurtleParser
+
+        stmts, errs = TurtleParser().parse('<t:s> <t:p> "a",, "b" .')
+        assert len(stmts) == 2 and not errs
+
+    def test_repeated_semicolons_collapse(self):
+        from kgt.turtle import TurtleParser
+
+        stmts, errs = TurtleParser().parse('<t:s> <t:p> "a" ;; <t:q> "b" .')
+        assert len(stmts) == 2 and not errs
+
+    def test_scanner_path_matches_on_multistatement_doc(self):
+        from kgt.turtle import TurtleParser
+
+        doc = '@prefix x: <t:> .\nx:s x:p "a",, "b" ;; x:q "c" .\nx:t x:p x:o .'
+        stmts, errs = TurtleParser().parse(doc)
+        assert len(stmts) == 4 and not errs
