@@ -33,6 +33,7 @@ ARROW_OK = {
     "kg_rdfstar",
     "kg_pretty_writer",
     "kg_ntriples_c14n",
+    "kg_pretty_nested",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
