@@ -783,6 +783,27 @@ def _q_dedup_near_verified(spark, sf_dir):
     return ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING end-to-end: banded-LSH blocking → exact
+    Jaccard verify → connected components (iterative min-label
+    propagation) — (doc_id, comp) with comp = the cluster's canonical
+    representative (min id), i.e. the keep/drop decision table. The
+    oracle computes the same fixpoint with a recursive CTE."""
+    from kgt.textops.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    sh = _dup_shingles(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
+    )
+    pairs = ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
+    return connected_components(pairs)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """md5-derived SimHash (two 32-bit halves) with 4×16-bit chunk
     blocking — lossless for hamming ≤ 3 — and a bucket-size cap.
@@ -932,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_near_verified": _q_dedup_near_verified,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "sim_topk": _q_sim_topk,
@@ -1471,7 +1493,7 @@ def oracle_sql() -> dict[str, str]:
 
     # end-to-end near-dup: LSH candidates (from UNCAPPED shingles, like
     # the Spark side) ∩ exact Jaccard over df-capped shingles
-    sqls["dedup_near_verified"] = f"""
+    _near_verified_sql = f"""
         WITH corpus AS ({_DUP_CORPUS_SQL}),
         sh0 AS ({_SHINGLES_SQL}),
         wide AS (
@@ -1509,6 +1531,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """
+    sqls["dedup_near_verified"] = _near_verified_sql
+
+    # near-dup clusters: connected components over the verified pairs —
+    # comp = min doc_id reachable (recursive CTE; the Spark side runs
+    # min-label propagation to the same fixpoint)
+    sqls["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({_near_verified_sql}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+          SELECT node, node AS comp FROM nodes
+          UNION
+          SELECT e.a AS node, r.comp AS comp
+          FROM edges e JOIN reach r ON r.node = e.b
+        )
+        SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node
     """
 
     # SimHash: md5-derived 64-bit fingerprint as two 32-bit halves —

@@ -243,6 +243,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair list: (doc_id, comp) where
+    comp = the minimum doc_id reachable through the pair graph — the
+    canonical representative every dedup keep/drop decision hangs off.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup components are shallow — chains
+    of mutated copies — so typically 2-4). Each round is one join +
+    one map-side-combinable groupBy; labels are localCheckpointed per
+    round so lineage stays flat. The driver-side loop IS the algorithm
+    (GraphX/Pregel shape); at 100 TB you would swap in
+    large-star/small-star (alternating-star rounds cut long chains in
+    O(log n)) with the identical loop skeleton. Raises if max_iter
+    rounds don't converge — a silently-unconverged clustering would
+    merge/split clusters wrongly.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("bcomp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the round budget — raise max_iter or "
+        "switch to the large-star/small-star variant)"
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens, carried as two 32-bit halves.
 

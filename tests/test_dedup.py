@@ -184,6 +184,56 @@ def test_cap_stats_zero_when_nothing_fires(spark):
     assert got2["quarantined_bucket_rows"] == 0
 
 
+def test_connected_components_shapes(spark):
+    """Clustering fixpoint on the shapes that break naive grouping:
+    a chain (transitivity), a cycle, a star, and an isolated pair."""
+    from kgt.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain → comp 1
+            (10, 11), (11, 12), (12, 10),    # cycle → comp 10
+            (20, 21), (20, 22), (20, 23),    # star → comp 20
+            (30, 31),                        # isolated pair → comp 30
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node chain needs ~diameter rounds of plain min-label
+    propagation — must converge within the budget, and every node must
+    land on the chain head."""
+    from kgt.textops.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs, max_iter=n + 2).collect()
+    assert all(r["comp"] == 0 for r in got) and len(got) == n + 1
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    from kgt.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_simhash_matches_duckdb_bit_construction(spark):
     """The md5→two-32-bit-halves construction must be reproducible in
     SQL (the oracle depends on it): recompute one doc's fingerprint in
