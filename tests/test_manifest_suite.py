@@ -170,6 +170,48 @@ def test_star_negative_syntax(name, kind, action, result):
     assert errs, f"{name} parsed clean but must fail"
 
 
+# ---------------------------------------------------------------------
+# Vendored rdf11 Turtle syntax snapshot — same vocabulary and driver as
+# the rdf12-star suite; recreated from the W3C rdf11/rdf-turtle layout
+# the reference's suite_spec.rb fetches remotely.
+# ---------------------------------------------------------------------
+
+VENDOR11 = os.path.join(os.path.dirname(__file__), "vendor", "rdf11")
+R11 = _load_w3c_manifest(os.path.join(VENDOR11, "manifest.ttl"))
+R11_POS = [t for t in R11 if t[1] == "TestTurtlePositiveSyntax"]
+R11_NEG = [t for t in R11 if t[1] == "TestTurtleNegativeSyntax"]
+
+
+def test_rdf11_manifest_enumerates_the_snapshot():
+    assert len(R11_POS) >= 18 and len(R11_NEG) >= 25
+
+
+@pytest.mark.parametrize(
+    "name,kind,action,result", R11_POS, ids=[t[0] for t in R11_POS]
+)
+def test_rdf11_positive_syntax(name, kind, action, result):
+    ttl = open(os.path.join(VENDOR11, action), encoding="utf-8").read()
+    parser = TurtleParser(
+        validate=True, base_uri="http://www.w3.org/2013/TurtleTests/" + action
+    )
+    parser.validate_raises = False
+    _, errs = parser.parse(ttl)
+    assert not errs, errs[:3]
+
+
+@pytest.mark.parametrize(
+    "name,kind,action,result", R11_NEG, ids=[t[0] for t in R11_NEG]
+)
+def test_rdf11_negative_syntax(name, kind, action, result):
+    ttl = open(os.path.join(VENDOR11, action), encoding="utf-8").read()
+    parser = TurtleParser(
+        validate=True, base_uri="http://www.w3.org/2013/TurtleTests/" + action
+    )
+    parser.validate_raises = False
+    _, errs = parser.parse(ttl)
+    assert errs, f"{name} parsed clean but must fail"
+
+
 @pytest.mark.parametrize(
     "name,kind,action,result", STAR_EVAL, ids=[t[0] for t in STAR_EVAL]
 )
