@@ -248,6 +248,7 @@ def fuzzy_candidates(
     rows_per_band: int = 3,
     prefix_t: float = 0.5,
     prefix_max_grams: int = 64,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Hybrid blocking candidates (m_surface, surface, iri) between
     surface grams sg(surface, gram) and dictionary grams
@@ -292,12 +293,16 @@ def fuzzy_candidates(
             gram_key(F.col("gram")).alias("mh"),
         )
     )
-    return (
+    out = (
         ss.withColumnRenamed("surface", "m_surface")
         .join(ds, ["band", "mh"])
         .select("m_surface", "surface", "iri")
-        .distinct()
     )
+    # a pair sharing k prefix grams appears k times; the audit/count
+    # callers need distinct pairs, but a downstream that ends in a
+    # per-pair max/groupBy (fuzzy_link's best-match) can skip the
+    # multi-hundred-MB dedupe exchange — duplicates don't change a max
+    return out.distinct() if dedupe else out
 
 
 def fuzzy_link(
@@ -341,7 +346,17 @@ def fuzzy_link(
     if materialize:
         sg = sg.localCheckpoint(eager=False)
         dg = dg.localCheckpoint(eager=False)
-    cand = fuzzy_candidates(sg, dg, n_hashes, rows_per_band, min_jaccard)
+    cand = fuzzy_candidates(
+        sg, dg, n_hashes, rows_per_band, min_jaccard, dedupe=False
+    )
+    # the scoring stage is CPU-bound (one array_intersect per candidate
+    # row) over a byte-SMALL frame — left to AQE the coalesced join
+    # output runs on 1-2 cores (same pitfall reassemble() documents);
+    # hash by m_surface so the stage is sized by cores and the final
+    # best-match groupBy reuses the partitioning
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "m_surface"
+    )
     s_arr = sg.groupBy("surface").agg(F.collect_list("gram").alias("ga"))
     d_arr = dg.groupBy("surface", "iri").agg(F.collect_list("gram").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
