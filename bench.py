@@ -47,6 +47,9 @@ def main():
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_near_verified",
+        "dedup_clusters",
+        "dedup_embedding",
+        "kg_pretty_nested",
         "sim_topk",
         "sim_topk_ivf",
         "doc_quality",
