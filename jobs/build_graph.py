@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv=None):
+def main(argv=None, stop_session=True):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcripts parquet dir (or sf dir with --synthetic-orders)")
     ap.add_argument("--output", required=True)
@@ -63,6 +63,25 @@ def main(argv=None):
         "batch so large --chunks don't serialize driver-side jobs; "
         "lineage stays per-chunk",
     )
+    ap.add_argument(
+        "--link",
+        action="store_true",
+        help="entity-linking stage (north-rule stage 4): detect "
+        "speaker/tool/IRI mentions in the staged transcripts, link "
+        "them against the broadcast IRI dictionary, fuzzy-link the "
+        "unlinked tail (prefix-filtered gram blocking + jaccard), and "
+        "union the resulting <urn:kg:mentions> provenance triples into "
+        "the materialized graph",
+    )
+    ap.add_argument(
+        "--dict",
+        default=None,
+        help="canonicalization dictionary parquet with columns "
+        "(surface, iri, kind); defaults to the built-in agent/tool rows",
+    )
+    ap.add_argument(
+        "--fuzzy-min-jaccard", type=float, default=0.5,
+    )
     args = ap.parse_args(argv)
 
     from kgt.spark.lineage import metrics, read_triples, run_extraction, stage_input
@@ -97,14 +116,59 @@ def main(argv=None):
     )
     print(f"extraction: {stats}", file=sys.stderr)
 
-    triples = read_triples(spark, args.output)
+    triples = read_triples(spark, args.output).drop("chunk")
+
+    if args.link:
+        from pyspark.sql import functions as F
+
+        from kgt.spark.link import (
+            build_iri_dictionary,
+            detect_mentions,
+            fuzzy_link,
+            link_mentions,
+            mentions_to_triples,
+        )
+
+        if args.dict:
+            dict_src = spark.read.parquet(args.dict)
+        else:
+            dict_src = spark.createDataFrame(
+                [
+                    ("user", "urn:agent:user", "agent"),
+                    ("assistant", "urn:agent:assistant", "agent"),
+                    ("tool", "urn:agent:tool", "agent"),
+                    ("turtle_emitter", "urn:tool:turtle_emitter", "tool"),
+                ],
+                "surface string, iri string, kind string",
+            )
+        iri_dict = build_iri_dictionary(dict_src)
+        staged = spark.read.parquet(f"{args.output}/staged")
+        linked = link_mentions(detect_mentions(staged), iri_dict)
+        # anti-join-first: only the unlinked tail reaches the LSH stage
+        unlinked = linked.filter(F.col("iri").isNull()).select("surface")
+        fuzzy = fuzzy_link(
+            unlinked,
+            iri_dict.select("surface", "iri"),
+            min_jaccard=args.fuzzy_min_jaccard,
+        ).select("surface", F.col("iri").alias("_fuzzy_iri"))
+        resolved = linked.join(fuzzy, "surface", "left").withColumn(
+            "iri", F.coalesce(F.col("iri"), F.col("_fuzzy_iri"))
+        )
+        mention_triples = mentions_to_triples(resolved).withColumn(
+            "stmt_idx", F.col("stmt_idx").cast("long")
+        )
+        n_mentions = mention_triples.count()
+        print(f"linking: {n_mentions} mention triples", file=sys.stderr)
+        triples = triples.unionByName(mention_triples)
+
     materialize_triples(
         triples, f"{args.output}/graph", n_buckets=args.n_buckets
     )
     metrics(spark, args.output).orderBy("chunk").show(200, truncate=False)
     n = spark.read.parquet(f"{args.output}/graph").count()
     print(f"graph rows: {n}", file=sys.stderr)
-    spark.stop()
+    if stop_session:  # tests share the session; the CLI owns it
+        spark.stop()
 
 
 if __name__ == "__main__":

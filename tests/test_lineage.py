@@ -155,6 +155,39 @@ def test_iceberg_branch_requires_jars(spark, sf_dir):
         materialize_triples(t, "iceberg:local.db.graph")
 
 
+def test_build_graph_link_stage(spark, sf_dir, tmp_path):
+    """End-to-end north-rule run via the production entry point with
+    the entity-linking stage on: parse triples AND <urn:kg:mentions>
+    provenance triples land in the materialized graph."""
+    from jobs.build_graph import main
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "graph_link")
+    main(
+        [
+            "--input", sf_dir,
+            "--synthetic-orders",
+            "--output", out,
+            "--chunks", "2",
+            "--cpus", "4",
+            "--link",
+        ],
+        stop_session=False,  # the pytest session owns the SparkSession
+    )
+    g = spark.read.parquet(f"{out}/graph")
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    parse_rows = g.filter(F.col("pred") != "<urn:kg:mentions>").count()
+    mention_rows = g.filter(F.col("pred") == "<urn:kg:mentions>").count()
+    assert parse_rows == 6 * n_orders
+    # every conversation mentions all 4 dictionary entities
+    assert mention_rows >= 4 * n_orders
+    assert (
+        g.filter(F.col("pred") == "<urn:kg:mentions>")
+        .select("obj").distinct().count()
+        == 4
+    )
+
+
 def test_materialize_bucketed(spark, sf_dir, out_dir, tmp_path):
     from kgt.spark.lineage import read_triples, run_extraction
     from kgt.spark.write import materialize_triples
