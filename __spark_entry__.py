@@ -804,6 +804,48 @@ def _q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _q_corpus_keep(spark, sf_dir):
+    """The training-data GATE, composed end-to-end: every document gets
+    (quality, dup_drop, keep) where dup_drop marks non-representative
+    members of near-dup clusters (LSH → Jaccard → components, min-id
+    representative survives) and keep = quality ≥ 0.67 AND NOT dup_drop
+    — the decision table a corpus-curation pipeline materializes."""
+    from kgt.textops.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from kgt.textops.quality import quality_score
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sh = _dup_shingles(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        sh,
+        threshold=0.6,
+        candidates=lsh_candidate_pairs(
+            minhash_signatures(sh, n_hashes=32, rows_per_band=4)
+        ),
+        max_df=1000,
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("comp") != F.col("doc_id")).select(
+        "doc_id", F.lit(True).alias("_dd")
+    )
+    q = quality_score(corpus).select("doc_id", "quality")
+    return (
+        q.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("_dd"), F.lit(False)).alias("dup_drop"),
+        )
+        .withColumn(
+            "keep", (F.col("quality") >= 0.67) & ~F.col("dup_drop")
+        )
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """md5-derived SimHash (two 32-bit halves) with 4×16-bit chunk
     blocking — lossless for hamming ≤ 3 — and a bucket-size cap.
@@ -954,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_near_verified": _q_dedup_near_verified,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_keep": _q_corpus_keep,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "sim_topk": _q_sim_topk,
@@ -1786,6 +1829,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, alpha_ratio, punct_ratio, stop_ratio,
                round((alpha_ratio + least(stop_ratio * 5, 1.0) + len_band) / 3, 6) AS quality
         FROM r
+    """
+
+    # the corpus-curation gate: near-dup components (recursive CTE) ×
+    # quality score over the SAME dup corpus → (doc_id, quality,
+    # dup_drop, keep); mirrors _q_corpus_keep's composition exactly
+    _quality_over_corpus = sqls["doc_quality"].replace(
+        "FROM documents", "FROM corpus"
+    )
+    sqls["corpus_keep"] = f"""
+        WITH RECURSIVE pairs AS ({_near_verified_sql}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+          SELECT node, node AS comp FROM nodes
+          UNION
+          SELECT e.a AS node, r.comp AS comp
+          FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comps AS (SELECT node AS doc_id, min(comp) AS comp
+                  FROM reach GROUP BY node),
+        corpus AS ({_DUP_CORPUS_SQL}),
+        qual AS ({_quality_over_corpus})
+        SELECT q.doc_id, q.quality,
+               coalesce(c.comp <> c.doc_id, FALSE) AS dup_drop,
+               (q.quality >= 0.67)
+                 AND NOT coalesce(c.comp <> c.doc_id, FALSE) AS keep
+        FROM qual q LEFT JOIN comps c ON c.doc_id = q.doc_id
     """
 
     # doc_fingerprint: fp_rolling_min uses xxhash64 — rows-only; but
