@@ -180,10 +180,30 @@ VENDOR11 = os.path.join(os.path.dirname(__file__), "vendor", "rdf11")
 R11 = _load_w3c_manifest(os.path.join(VENDOR11, "manifest.ttl"))
 R11_POS = [t for t in R11 if t[1] == "TestTurtlePositiveSyntax"]
 R11_NEG = [t for t in R11 if t[1] == "TestTurtleNegativeSyntax"]
+R11_EVAL = [t for t in R11 if t[1] == "TestTurtleEval"]
 
 
 def test_rdf11_manifest_enumerates_the_snapshot():
-    assert len(R11_POS) >= 18 and len(R11_NEG) >= 25
+    assert len(R11_POS) >= 18 and len(R11_NEG) >= 25 and len(R11_EVAL) >= 8
+    assert all(r for *_, r in R11_EVAL)
+
+
+@pytest.mark.parametrize(
+    "name,kind,action,result", R11_EVAL, ids=[t[0] for t in R11_EVAL]
+)
+def test_rdf11_eval(name, kind, action, result):
+    ttl = open(os.path.join(VENDOR11, action), encoding="utf-8").read()
+    golden = open(os.path.join(VENDOR11, result), encoding="utf-8").read()
+    stmts, errs = TurtleParser().parse(ttl)
+    assert not errs, errs[:3]
+    got = canon_bnodes(
+        sorted(
+            unescape(f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .")
+            for s, p, o in stmts
+        )
+    )
+    want = canon_bnodes(sorted(unescape(line) for line in normalize_nt(golden)))
+    assert got == want
 
 
 @pytest.mark.parametrize(
