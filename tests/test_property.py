@@ -32,6 +32,75 @@ def test_parser_never_crashes_on_adversarial_punctuation(text):
     assert isinstance(stmts, list)
 
 
+# --- 1b. the document scanner and the production machinery agree ------
+
+
+class _SlowOnlyParser(TurtleParser):
+    """Forces the statement-level/recursive-descent pipeline: the
+    document fast path reports failure without touching state."""
+
+    def _fast_parse_doc(self, text):
+        return False
+
+
+_TURTLE_ISH = st.text(
+    alphabet=(
+        '<>"\'.;,()[]_:@^ \n\t#'
+        + string.ascii_letters
+        + string.digits
+        + "+-"
+    ),
+    max_size=250,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_TURTLE_ISH)
+def test_scanner_agrees_with_slow_path(text):
+    """Byte-identical statements AND errors whether the one-pass
+    document scanner runs or the machinery parses everything —
+    hypothesis hunts the token shapes where the scanner's bail/commit
+    boundary could diverge."""
+    fast_stmts, fast_errs = TurtleParser().parse(text)
+    slow_stmts, slow_errs = _SlowOnlyParser().parse(text)
+    assert fast_stmts == slow_stmts
+    assert fast_errs == slow_errs
+
+
+_SIMPLE_DOC = st.lists(
+    st.tuples(
+        st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True),
+        st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True),
+        st.one_of(
+            st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True).map(
+                lambda s: f"p:{s}"
+            ),
+            st.integers(-999, 999).map(str),
+            st.from_regex(r"[A-Za-z ]{0,12}", fullmatch=True).map(
+                lambda s: '"' + s + '"'
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+).map(
+    lambda rows: "@prefix p: <urn:p:> .\n"
+    + "\n".join(f"p:{s} p:{p} {o} ." for s, p, o in rows)
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_SIMPLE_DOC)
+def test_scanner_agrees_on_wellformed_docs(doc):
+    """On the scanner's own happy-path shapes the agreement must hold
+    with ZERO errors on both sides (no silent divergence hiding in the
+    recovery path)."""
+    fast_stmts, fast_errs = TurtleParser().parse(doc)
+    slow_stmts, slow_errs = _SlowOnlyParser().parse(doc)
+    assert fast_stmts == slow_stmts
+    assert not fast_errs and not slow_errs
+
+
 # --- 2. term encode/decode inverse ------------------------------------
 
 _iri = st.from_regex(r"http://e/[A-Za-z0-9_]{1,10}", fullmatch=True).map(
