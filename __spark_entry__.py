@@ -345,11 +345,12 @@ def _q_kg_fuzzy_link(spark, sf_dir):
     >20% of the dictionary (the constant 'Customer#0…' prefix) are
     df-capped out of the universe — TPC-H names are the ID-like worst
     case where common grams both flood the LSH buckets and drown the
-    jaccard signal."""
+    jaccard signal. The cap is the LAZY fractional form (max_df_frac):
+    the dictionary count rides inside the plan as a broadcast scalar,
+    so building this DataFrame costs no eager Spark job."""
     from kgt.spark.link import fuzzy_link, link_mentions
 
     cust = _read(spark, sf_dir, "customer")
-    max_df = int(cust.count() * 0.2)
     exact = cust.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_name").alias("surface")
     )
@@ -370,7 +371,7 @@ def _q_kg_fuzzy_link(spark, sf_dir):
         n_hashes=24,
         rows_per_band=3,
         min_jaccard=0.5,
-        max_df=max_df,
+        max_df_frac=0.2,
     )
 
 

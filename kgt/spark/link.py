@@ -157,7 +157,9 @@ def _gram_sigs(gram_rows, id_cols, n_hashes: int, rows_per_band: int):
         ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sig = gram_rows.groupBy(*id_cols).agg(*aggs)
+    sig = gram_rows.groupBy(*id_cols).agg(
+        *aggs, F.count(F.lit(1)).alias("m")
+    )
     band_keys = [
         F.md5(
             F.concat_ws(
@@ -168,12 +170,15 @@ def _gram_sigs(gram_rows, id_cols, n_hashes: int, rows_per_band: int):
         for b in range(n_bands)
     ]
     return sig.select(
-        *id_cols, F.posexplode(F.array(*band_keys)).alias("band", "mh")
+        *id_cols, "m", F.posexplode(F.array(*band_keys)).alias("band", "mh")
     )
 
 
 def _gram_tables(
-    unlinked_surfaces: DataFrame, iri_dict: DataFrame, max_df: int | None
+    unlinked_surfaces: DataFrame,
+    iri_dict: DataFrame,
+    max_df: int | None,
+    max_df_frac: float | None = None,
 ):
     """Exploded, optionally df-capped gram tables for both sides:
     sg(surface, gram), dg(surface, iri, gram).
@@ -188,6 +193,13 @@ def _gram_tables(
     dictionary side, which is dimension-bounded, so the cap list
     broadcasts. A surface whose grams are ALL capped has no signature
     and simply stays unlinked.
+
+    ``max_df_frac`` is the LAZY form: hot ⇔ df > frac · |dict|, with
+    |dict| a 1-row broadcast scalar computed inside the plan — no
+    eager count() job at query-construction time. The threshold is
+    exact-decimal arithmetic (matching a SQL engine's
+    ``count(*) * 0.2``), never a double product that could land on the
+    wrong side of an integer df.
     """
     sg = (
         unlinked_surfaces.select("surface")
@@ -198,13 +210,19 @@ def _gram_tables(
     dg = iri_dict.select(
         "surface", "iri", F.explode(_char3grams(F.col("surface"))).alias("gram")
     )
-    if max_df is not None:
-        hot = (
-            dg.groupBy("gram")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("gram")
-        )
+    if max_df is not None or max_df_frac is not None:
+        dfs = dg.groupBy("gram").agg(F.count("*").alias("df"))
+        if max_df is not None:
+            hot = dfs.filter(F.col("df") > max_df)
+        else:
+            from decimal import Decimal
+
+            total = iri_dict.select(F.count("*").alias("_n"))
+            hot = dfs.join(F.broadcast(total)).filter(
+                F.col("df")
+                > F.col("_n") * F.lit(Decimal(str(max_df_frac)))
+            )
+        hot = hot.select("gram")
         sg = sg.join(F.broadcast(hot), "gram", "left_anti")
         dg = dg.join(F.broadcast(hot), "gram", "left_anti")
     return sg, dg
@@ -213,7 +231,10 @@ def _gram_tables(
 def _prefix_grams(gram_rows, id_cols, gram_df, t: float):
     """Restrict exploded (id…, gram) rows to each entity's PREFIX: its
     p rarest grams in a single global (df, gram) order, with
-    p = m − ⌈t·m⌉ + 1 for an m-gram entity.
+    p = m − ⌈t·m⌉ + 1 for an m-gram entity. Returns
+    (id_cols..., gram, pos, m) — pos is the gram's 1-based rank in the
+    entity's FULL global-order gram list, m the entity's (capped) gram
+    count; both feed the exact positional/length filters downstream.
 
     This is prefix filtering (SSJoin/PPJoin): two sets with jaccard ≥ t
     MUST share at least one prefix gram under a consistent global
@@ -231,13 +252,13 @@ def _prefix_grams(gram_rows, id_cols, gram_df, t: float):
     w = Window.partitionBy(*id_cols).orderBy("_df", "gram")
     wc = Window.partitionBy(*id_cols)
     return (
-        g.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_m", F.count(F.lit(1)).over(wc))
+        g.withColumn("pos", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wc))
         .filter(
-            F.col("_rn")
-            <= F.col("_m") - F.ceil(F.lit(float(t)) * F.col("_m")) + 1
+            F.col("pos")
+            <= F.col("m") - F.ceil(F.lit(float(t)) * F.col("m")) + 1
         )
-        .select(*id_cols, "gram")
+        .select(*id_cols, "gram", "pos", "m")
     )
 
 
@@ -265,43 +286,125 @@ def fuzzy_candidates(
     signatures stay fixed-size. The dictionary side emits BOTH key
     kinds (it is dimension-bounded), so either surface class finds its
     match.
+
+    Two further filters, both EXACT for jaccard ≥ prefix_t (so the
+    verified output is unchanged — only the candidate set shrinks):
+
+    * length filter (both paths): |A∩B| ≤ min(|A|,|B|) and
+      |A∪B| ≥ max(|A|,|B|), so j ≥ t forces t·|A| ≤ |B| ≤ |A|/t.
+      On ID-like dictionaries this alone removes most cross-length
+      noise pairs the rare-gram collisions admit.
+    * positional filter (prefix path; PPJoin, Xiao et al. 2008), the
+      ACCUMULATED form: both prefixes are ranked by ONE global
+      (df, gram) order, so rank is monotone in that order inside every
+      gram set — any common gram at or below the pair's largest shared
+      prefix gram g* is itself in BOTH prefixes (its ranks are below
+      g*'s). Hence overlap = k + |commons > g*| ≤
+      k + min(|A|−ps*, |B|−pd*), with k the pair's shared-prefix-gram
+      count and (ps*, pd*) g*'s ranks; j ≥ t forces overlap ≥
+      ⌈t/(1+t)·(|A|+|B|)⌉. The filter groups candidate rows per pair
+      (one map-side-combinable aggregate — the same exchange a
+      distinct would cost) and drops pairs whose bound misses the
+      requirement; a qualifying pair always satisfies it, so recall
+      is exactly preserved.
+
+    On ID-like dictionaries the measured floor of these filters is
+    ~65 candidates per true link at sf0.1 (from 199 unfiltered):
+    kept-gram sets are tiny after the df-cap (6-8 grams), prefixes are
+    nearly the whole set, and surviving noise shares one genuinely
+    rare gram at compatible ranks — rank arithmetic alone cannot
+    separate that from a true match; only the verify join's content
+    comparison can, and it is O(candidates).
     """
+    t = float(prefix_t)
+    eps = 1e-9  # double-rounding guard: never tighter than the exact bound
     gram_df = dg.groupBy("gram").agg(F.count("*").alias("df"))
     s_counts = sg.groupBy("surface").agg(F.count("*").alias("_m"))
     sg2 = sg.join(s_counts, "surface")
-    gram_key = lambda g: F.md5(F.concat(F.lit("g:"), g))  # noqa: E731
-    ss_short = _prefix_grams(
+    length_ok = (F.col("_md") >= t * F.col("_ms") - eps) & (
+        F.col("_ms") >= t * F.col("_md") - eps
+    )
+    sp = _prefix_grams(
         sg2.filter(F.col("_m") <= prefix_max_grams).select("surface", "gram"),
         ["surface"],
         gram_df,
-        prefix_t,
+        t,
     ).select(
-        "surface", F.lit(-1).alias("band"), gram_key(F.col("gram")).alias("mh")
+        F.col("surface").alias("m_surface"),
+        "gram",
+        F.col("pos").alias("_ps"),
+        F.col("m").alias("_ms"),
     )
-    ss_long = _gram_sigs(
-        sg2.filter(F.col("_m") > prefix_max_grams).select("surface", "gram"),
-        ["surface"],
-        n_hashes,
-        rows_per_band,
+    dp = _prefix_grams(dg, ["surface", "iri"], gram_df, t).select(
+        "surface",
+        "iri",
+        "gram",
+        F.col("pos").alias("_pd"),
+        F.col("m").alias("_md"),
     )
-    ss = ss_short.unionByName(ss_long)
-    ds = _gram_sigs(dg, ["surface", "iri"], n_hashes, rows_per_band).unionByName(
-        _prefix_grams(dg, ["surface", "iri"], gram_df, prefix_t).select(
-            "surface",
-            "iri",
-            F.lit(-1).alias("band"),
-            gram_key(F.col("gram")).alias("mh"),
+    alpha_row = F.ceil(
+        t / (1.0 + t) * (F.col("_ms") + F.col("_md")) - eps
+    )
+    # row-level positional pre-filter (the k=1 bound at each shared
+    # gram) BEFORE the pair aggregate: a plain codegen filter that cuts
+    # the exchange ~3×. Exact, and it composes with the accumulated
+    # bound below: the row bound is monotone non-increasing in gram
+    # rank, so the surviving rows are a downward-closed prefix of each
+    # pair's shared grams in the global order — the accumulated bound
+    # computed over them is still a valid overlap upper bound
+    row_ok = (
+        1 + F.least(F.col("_ms") - F.col("_ps"), F.col("_md") - F.col("_pd"))
+        >= alpha_row
+    )
+    grouped = (
+        sp.join(dp, "gram")
+        .filter(length_ok & row_ok)
+        .groupBy("m_surface", "surface", "iri")
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.max("_ps").alias("_psx"),
+            F.max("_pd").alias("_pdx"),
+            F.first("_ms").alias("_ms"),
+            F.first("_md").alias("_md"),
         )
     )
-    out = (
-        ss.withColumnRenamed("surface", "m_surface")
-        .join(ds, ["band", "mh"])
+    alpha = F.ceil(
+        t / (1.0 + t) * (F.col("_ms") + F.col("_md")) - eps
+    )
+    cand_prefix = grouped.filter(
+        F.col("_k")
+        + F.least(
+            F.col("_ms") - F.col("_psx"), F.col("_md") - F.col("_pdx")
+        )
+        >= alpha
+    ).select("m_surface", "surface", "iri")
+    ss_long = (
+        _gram_sigs(
+            sg2.filter(F.col("_m") > prefix_max_grams).select(
+                "surface", "gram"
+            ),
+            ["surface"],
+            n_hashes,
+            rows_per_band,
+        )
+        .withColumnRenamed("surface", "m_surface")
+        .withColumnRenamed("m", "_ms")
+    )
+    ds = _gram_sigs(dg, ["surface", "iri"], n_hashes, rows_per_band).withColumnRenamed(
+        "m", "_md"
+    )
+    cand_band = (
+        ss_long.join(ds, ["band", "mh"])
+        .filter(length_ok)
         .select("m_surface", "surface", "iri")
     )
-    # a pair sharing k prefix grams appears k times; the audit/count
-    # callers need distinct pairs, but a downstream that ends in a
-    # per-pair max/groupBy (fuzzy_link's best-match) can skip the
-    # multi-hundred-MB dedupe exchange — duplicates don't change a max
+    out = cand_prefix.unionByName(cand_band)
+    # the prefix path is already pair-distinct (the positional filter's
+    # groupBy doubles as the dedupe); only the band path can repeat a
+    # pair (one hit per agreeing band). The audit/count callers need
+    # fully distinct pairs, but a downstream that ends in a per-pair
+    # max/groupBy (fuzzy_link's best-match) can skip the extra
+    # exchange — duplicates don't change a max
     return out.distinct() if dedupe else out
 
 
@@ -312,6 +415,7 @@ def fuzzy_link(
     rows_per_band: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Char-3-gram banded-MinHash blocking between UNLINKED surfaces and
@@ -325,9 +429,11 @@ def fuzzy_link(
     3 rows, whose LSH S-curve threshold (1/b)^(1/r) = 0.5 sits exactly
     on the default jaccard gate — j=0.9 matches collide w.p. ~1,
     j=0.2 noise w.p. ~0.06. For ID-like dictionaries (constant prefix,
-    zero padding) pass ``max_df``: common grams leave the universe
-    (see _gram_tables), which both collapses the candidate set toward
-    the true pair set and makes the jaccard discriminative.
+    zero padding) pass ``max_df`` — or ``max_df_frac``, the lazy form
+    (hot ⇔ df > frac·|dict|, threshold computed inside the plan, no
+    eager count job): common grams leave the universe (see
+    _gram_tables), which both collapses the candidate set toward the
+    true pair set and makes the jaccard discriminative.
 
     The verify stage scores ONLY the candidate pairs: each side's
     capped gram set is collected to an array once, the candidate list
@@ -342,7 +448,7 @@ def fuzzy_link(
     source — measured ~1.7× slower at sf0.1. At 100 TB the gram tables
     would be a staged intermediate anyway.
     """
-    sg, dg = _gram_tables(unlinked_surfaces, iri_dict, max_df)
+    sg, dg = _gram_tables(unlinked_surfaces, iri_dict, max_df, max_df_frac)
     if materialize:
         sg = sg.localCheckpoint(eager=False)
         dg = dg.localCheckpoint(eager=False)
