@@ -805,6 +805,28 @@ def _q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering fixpoint as dedup_clusters, computed by the
+    large-star/small-star edge-contraction variant (O(log n) rounds on
+    chains, the 100-TB skew shape) instead of min-label propagation —
+    both implementations must land on the identical (doc_id, comp)
+    table, so this shares dedup_clusters' recursive-CTE oracle and the
+    driver hash-gates their agreement end-to-end."""
+    from kgt.textops.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    sh = _dup_shingles(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
+    )
+    pairs = ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
+    return connected_components(pairs, algorithm="star")
+
+
 def _q_corpus_keep(spark, sf_dir):
     """The training-data GATE, composed end-to-end: every document gets
     (quality, dup_drop, keep) where dup_drop marks non-representative
@@ -997,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_near_verified": _q_dedup_near_verified,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "corpus_keep": _q_corpus_keep,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -1597,6 +1620,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node
     """
+    # the star variant must land on the IDENTICAL fixpoint — one oracle,
+    # two engine implementations, both hash-gated
+    sqls["dedup_clusters_star"] = sqls["dedup_clusters"]
 
     # SimHash: md5-derived 64-bit fingerprint as two 32-bit halves —
     # bit-for-bit the same construction as kgt.textops.dedup.simhash64,

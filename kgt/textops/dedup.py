@@ -248,23 +248,37 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from a pair list: (doc_id, comp) where
     comp = the minimum doc_id reachable through the pair graph — the
     canonical representative every dedup keep/drop decision hangs off.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup components are shallow — chains
-    of mutated copies — so typically 2-4). Each round is one join +
-    one map-side-combinable groupBy; labels are localCheckpointed per
-    round so lineage stays flat. The driver-side loop IS the algorithm
-    (GraphX/Pregel shape); at 100 TB you would swap in
-    large-star/small-star (alternating-star rounds cut long chains in
-    O(log n)) with the identical loop skeleton. Raises if max_iter
-    rounds don't converge — a silently-unconverged clustering would
-    merge/split clusters wrongly.
+    Two flag-selected implementations with IDENTICAL output (an
+    agreement test pins it):
+
+    * ``minlabel`` (default): each round every node takes the min of
+      its own label and its neighbors' labels — one join + one
+      map-side-combinable groupBy per round, O(graph diameter) rounds.
+      Near-dup components are usually shallow (2-4 rounds), and the
+      per-round cost is the lowest of the two.
+    * ``star``: alternating large-star/small-star contraction
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond") — O(log n) rounds on ANY shape, including the mutation
+      CHAIN a 100-TB near-dup graph degenerates into (a 1000-copy
+      chain costs min-label ~1000 rounds but star ~10; the chain test
+      pins both). Per round: symmetrize, min-per-neighborhood groupBy,
+      re-hang edges; converged when the edge set reaches its star-
+      forest fixpoint.
+
+    Both loops localCheckpoint per round so lineage stays flat, and
+    both RAISE if max_iter rounds don't converge — a silently-
+    unconverged clustering would merge/split clusters wrongly.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         edges.unionByName(
@@ -312,7 +326,89 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds the round budget — raise max_iter or "
-        "switch to the large-star/small-star variant)"
+        "switch to algorithm='star')"
+    )
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    2014). State is an EDGE set, not labels; each round:
+
+    * large-star: symmetrize; per node u with neighborhood Γ(u), hang
+      every neighbor v > u onto m = min(Γ(u) ∪ {u}). Long tails fold
+      toward local minima — path lengths roughly halve, giving the
+      O(log n) bound min-label lacks on chains.
+    * small-star: orient every edge (big → small); per node u, hang u
+      and all its smaller neighbors onto their collective min.
+
+    Both steps preserve connectivity and never drop a node (every
+    endpoint reappears on at least one side of an emitted edge); the
+    fixpoint is a star forest where each edge is (node, component
+    min). Convergence check = consecutive edge sets equal (count +
+    one-sided exceptAll over distinct sets). Everything is
+    joins/groupBys on (long, long) rows — no driver-side graph state.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = (
+        edges.select("a").unionByName(edges.select(F.col("b").alias("a")))
+        .distinct()
+        .count()
+    )
+    n_prev = edges.count()
+    for _ in range(max_iter):
+        nbrs = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmins = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
+        large = (
+            nbrs.join(lmins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("a"),
+                F.least(F.col("mn"), F.col("a")).alias("b"),
+            )
+            .distinct()
+        )
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        smins = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+        new_edges = (
+            oriented.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .unionByName(smins.select("a", F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_new = new_edges.count()
+        if n_new == n_prev and new_edges.exceptAll(edges).limit(1).count() == 0:
+            labels = new_edges.select(
+                F.col("a").alias("doc_id"), F.col("b").alias("comp")
+            ).unionByName(
+                new_edges.select(
+                    F.col("b").alias("doc_id"), F.col("b").alias("comp")
+                ).distinct()
+            )
+            # a lost node would silently become a wrong singleton
+            # downstream; the star steps provably keep every endpoint,
+            # so a count drift here is a bug worth failing loudly on
+            if labels.count() != n_nodes:
+                raise RuntimeError(
+                    "star connected_components lost nodes at the fixpoint"
+                )
+            return labels
+        edges, n_prev = new_edges, n_new
+    raise RuntimeError(
+        f"connected_components(algorithm='star') did not converge in "
+        f"{max_iter} rounds — raise max_iter"
     )
 
 

@@ -234,6 +234,60 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
         connected_components(pairs, max_iter=2)
 
 
+def test_connected_components_star_agrees_with_minlabel(spark):
+    """Both implementations must produce the identical (doc_id, comp)
+    table on every shape the min-label test pins — chain, cycle, star,
+    isolated pair — plus two components that merge through a shared
+    middle node."""
+    from kgt.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (11, 12), (12, 10),
+            (20, 21), (20, 22), (20, 23),
+            (30, 31),
+            (40, 45), (45, 41), (41, 44), (44, 42),
+        ],
+        "doc_a long, doc_b long",
+    )
+    minlabel = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="minlabel").collect()
+    }
+    star = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == minlabel
+    assert star[44] == 40 and star[4] == 1
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """The 100-TB skew case the star variant exists for: a 1000-doc
+    mutation CHAIN. Min-label needs ~1000 rounds (the 25-round default
+    budget must raise); large-star/small-star contracts it within
+    ~log2(1000) ≈ 10 alternating rounds (15 is generous headroom)."""
+    from kgt.textops.dedup import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, algorithm="minlabel")
+    got = connected_components(pairs, algorithm="star", max_iter=15).collect()
+    assert len(got) == n + 1 and all(r["comp"] == 0 for r in got)
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    from kgt.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(pairs, algorithm="labelprop")
+
+
 def test_simhash_matches_duckdb_bit_construction(spark):
     """The md5→two-32-bit-halves construction must be reproducible in
     SQL (the oracle depends on it): recompute one doc's fingerprint in
