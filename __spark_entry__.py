@@ -956,6 +956,61 @@ def _q_multimodal_decode(spark, sf_dir):
     return decode_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
 
 
+def _q_multimodal_decode_real(spark, sf_dir):
+    """The REAL codec path under the oracle (fake=False): deterministic
+    RGB PNGs — dims from text length, pixel i = (doc_id·31+i) mod 256 —
+    are ENCODED in one mapInPandas stage (from-scratch stdlib encoder:
+    IHDR/IDAT/IEND, zlib, CRC32) and DECODED in a second (signature +
+    per-chunk CRC validation, inflate, scanline unfilter), emitting the
+    decoded geometry and pixel-byte sum. The oracle reproduces dims and
+    the sum arithmetically (generate_series), so a decoder that
+    mis-parses chunks, mis-inflates, or mis-unfilters hash-fails."""
+    import pandas as pd
+
+    from kgt.textops.multimodal import decode_png, encode_png
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                w = int(L) % 40 + 1
+                h = (int(L) * 7) % 40 + 1
+                px = bytes(
+                    (int(doc_id) * 31 + i) % 256 for i in range(w * h * 3)
+                )
+                payloads.append(encode_png(w, h, px, color_type=2))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, px = decode_png(bytes(p))
+                recs.append((int(doc_id), w, h, len(px), sum(px)))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "n_pixel_bytes", "pixel_sum"
+                ],
+            )
+
+    return media.mapInPandas(
+        dec,
+        schema=(
+            "doc_id long, width int, height int, "
+            "n_pixel_bytes long, pixel_sum long"
+        ),
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Longest-side-cap resize plumbing (mapInPandas, 1→1); stubbed
     decode, real batch shape — dims + integer scaling oracle-checked."""
@@ -1030,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -1900,6 +1956,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(('0x' || substr(md5(text), 1, 4))::INTEGER % 1024 + 1 AS INTEGER) AS width,
                CAST(('0x' || substr(md5(text), 5, 4))::INTEGER % 1024 + 1 AS INTEGER) AS height
         FROM documents
+    """
+
+    # the REAL codec path: dims + pixel-byte sum of the deterministic
+    # PNGs reproduced arithmetically — the Spark side must round-trip
+    # actual zlib/CRC/filter bytes to land on these numbers
+    # pixel_sum closed form: sum_{i<n} (a+i) mod 256 with a=(31*doc_id)
+    # mod 256 = full 0..255 cycles (32640 each) + a possibly-wrapping
+    # arithmetic remainder
+    sqls["multimodal_decode_real"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(length(text) % 40 + 1 AS INTEGER) AS width,
+                 CAST((length(text) * 7) % 40 + 1 AS INTEGER) AS height,
+                 (doc_id * 31) % 256 AS a,
+                 (length(text) % 40 + 1) * ((length(text) * 7) % 40 + 1) * 3 AS n
+          FROM documents
+        )
+        SELECT doc_id, width, height,
+               CAST(n AS BIGINT) AS n_pixel_bytes,
+               CAST((n // 256) * 32640 +
+                 CASE WHEN a + (n % 256) <= 256
+                      THEN (n % 256) * a + (n % 256) * ((n % 256) - 1) // 2
+                      ELSE (256 - a) * a + (256 - a) * (255 - a) // 2
+                           + ((n % 256) - 256 + a) * ((n % 256) - 256 + a - 1) // 2
+                 END AS BIGINT) AS pixel_sum
+        FROM dims
     """
 
     sqls["multimodal_resize"] = """

@@ -1,0 +1,180 @@
+"""From-scratch PNG codec: the REAL (fake=False) multimodal decode path.
+
+The unfilter logic is tested against an independent inline FORWARD
+filter implementation (test encodes, product decodes — opposite
+directions, so a shared bug can't self-confirm), plus round trips,
+CRC validation, and the Spark mapInPandas real-decode path.
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from kgt.textops.multimodal import (
+    _PNG_SIG,
+    decode_png,
+    encode_png,
+    resize_pixels,
+)
+
+
+def _px(w, h, ch, seed=0):
+    return bytes((seed + i * 7) % 256 for i in range(w * h * ch))
+
+
+@pytest.mark.parametrize("ctype,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_roundtrip_all_color_types(ctype, ch):
+    w, h = 5, 4
+    px = _px(w, h, ch)
+    got = decode_png(encode_png(w, h, px, color_type=ctype))
+    assert got == (w, h, ch, px)
+
+
+def _chunk(tag, data):
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(ftype, line, prev, ch):
+    """Independent reference implementation of the PNG FORWARD filters
+    (the encoder direction, per the PNG spec) — written here, not
+    imported, so the product's inverse filters are checked against a
+    separately-derived construction."""
+    out = bytearray()
+    for i, x in enumerate(line):
+        a = line[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if ftype == 0:
+            out.append(x)
+        elif ftype == 1:
+            out.append((x - a) & 0xFF)
+        elif ftype == 2:
+            out.append((x - b) & 0xFF)
+        elif ftype == 3:
+            out.append((x - (a + b) // 2) & 0xFF)
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_unfilter_reverses_every_filter_type():
+    """A 5-row RGB image where each scanline uses a different filter
+    type (None, Sub, Up, Average, Paeth), assembled by the inline
+    forward filters and raw chunk construction — decode_png must
+    recover the exact pixel rows."""
+    w, ch = 4, 3
+    rows = [_px(w, 1, ch, seed=40 * y + 3) for y in range(5)]
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, row in enumerate(rows):
+        raw.append(y)  # filter type = row index, covers all five
+        raw += _forward_filter(y, row, prev, ch)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, len(rows), 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    gw, gh, gch, gpx = decode_png(payload)
+    assert (gw, gh, gch) == (w, 5, ch)
+    assert gpx == b"".join(rows)
+
+
+def test_decode_handles_split_idat():
+    w, h, ch = 6, 3, 3
+    px = _px(w, h, ch)
+    comp = zlib.compress(
+        b"".join(b"\x00" + px[y * w * ch : (y + 1) * w * ch] for y in range(h))
+    )
+    half = len(comp) // 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:half])
+        + _chunk(b"IDAT", comp[half:])
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (w, h, ch, px)
+
+
+def test_crc_corruption_raises():
+    p = bytearray(encode_png(3, 3, _px(3, 3, 3), color_type=2))
+    p[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(p))
+
+
+def test_bad_signature_raises():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF" + b"\x00" * 64)
+
+
+def test_unsupported_depth_raises():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(payload)
+
+
+def test_resize_pixels_nearest_neighbor():
+    """8×4 RGB capped to longest side 4 → 4×2; every target pixel must
+    equal source pixel (⌊x·8/4⌋, ⌊y·4/2⌋)."""
+    w, h, ch = 8, 4, 3
+    px = _px(w, h, ch)
+    out = resize_pixels(encode_png(w, h, px, color_type=2), max_side=4)
+    gw, gh, gch, gpx = decode_png(out)
+    assert (gw, gh, gch) == (4, 2, ch)
+    for y in range(gh):
+        for x in range(gw):
+            src = ((y * h // gh) * w + (x * w // gw)) * ch
+            dst = (y * gw + x) * ch
+            assert gpx[dst : dst + ch] == px[src : src + ch]
+
+
+def test_resize_pixels_noop_when_small():
+    p = encode_png(3, 2, _px(3, 2, 3), color_type=2)
+    assert resize_pixels(p, max_side=16) == p
+
+
+def test_real_decode_non_png_raises():
+    from kgt.textops.multimodal import _decode_one
+
+    with pytest.raises(NotImplementedError, match="PNG"):
+        _decode_one(b"not an image", fake=False)
+
+
+def test_spark_real_decode_path(spark):
+    """decode_features(fake=False) over real PNG payloads: the
+    mapInPandas batch path must surface the true decoded dimensions,
+    not the checksum-derived fakes."""
+    from kgt.textops.quality import __name__ as _  # noqa: F401 (import sanity)
+    from kgt.textops.multimodal import decode_features
+
+    rows = [
+        (i, encode_png(4 + i, 3 + 2 * i, _px(4 + i, 3 + 2 * i, 3, seed=i), 2), "image/png")
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r["doc_id"]: r for r in decode_features(media, fake=False).collect()}
+    for i in range(6):
+        assert (got[i]["width"], got[i]["height"]) == (4 + i, 3 + 2 * i)
+        assert got[i]["n_bytes"] == len(rows[i][1])
