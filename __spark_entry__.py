@@ -926,6 +926,29 @@ def _q_sim_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _q_sim_topk_ivf_join(spark, sf_dir):
+    """IVF ANN at 300 cells — past the literal/join crossover
+    (literal_max_cells=256), so cell assignment runs the SCALE path
+    end-to-end under the oracle: centroids ride a broadcast join, the
+    per-vector cell choice is a map-side-combined top-cell reduce (the
+    shuffle carries N rows, never N·C), and the codegen expression
+    stays constant-size where the literal path would inline a
+    300-way expression tree. Same rounded-cosine cell ordering as the
+    literal path (bit-identical sims, pinned in tests), so the oracle
+    only changes the seed LIMIT."""
+    from kgt.textops.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_cells=300,
+        nprobe=2,
+        assign="join",
+    )
+
+
 def _q_doc_langid(spark, sf_dir):
     from kgt.textops.quality import language_id
 
@@ -1080,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
+        "sim_topk_ivf_join": _q_sim_topk_ivf_join,
         "doc_langid": _q_doc_langid,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -1809,11 +1833,11 @@ def oracle_sql() -> dict[str, str]:
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    sqls["sim_topk_ivf"] = f"""
+    _ivf_sql = lambda n_cells: f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         seeds AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells})
         ),
         base_rank AS (
           SELECT e.vec_id, s.cid,
@@ -1846,6 +1870,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
+    sqls["sim_topk_ivf"] = _ivf_sql(16)
+    # the join-assignment scale path computes bit-identical sims, so
+    # its oracle differs only in the seed count (300 > the 256-cell
+    # literal/join crossover)
+    sqls["sim_topk_ivf_join"] = _ivf_sql(300)
 
     _occ = (
         lambda w: f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
