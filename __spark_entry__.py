@@ -573,8 +573,10 @@ def _q_kg_canonicalize(spark, sf_dir):
 
 def _q_kg_pretty_writer(spark, sf_dir):
     """Reference pretty writer per conversation (applyInPandas):
-    round-trip pinned in tests; rows-only here (text formatting isn't
-    reasonably SQL-expressible)."""
+    round-trip pinned in tests AND a full-text hash gate here — the
+    oracle string-assembles the expected document per conversation, so
+    every emitted byte (prefix block, subject grouping, ';' layout) is
+    driver-checked, not just row counts."""
     from kgt.spark.parse import triples
     from kgt.spark.write import pretty_turtle
 

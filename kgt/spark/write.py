@@ -151,6 +151,21 @@ def pname_terms(
     return df.withColumn(out_col, expr)
 
 
+def _iceberg_configured(spark) -> bool:
+    """Either signal proves Iceberg is wired in: the DataFrameWriterV2
+    path (writeTo().using("iceberg")) only needs a configured
+    spark.sql.catalog.* = an Iceberg catalog class — the SQL extensions
+    config is for MERGE/CALL statements — so a catalog-only cluster
+    must pass this gate too."""
+    exts = spark.conf.get("spark.sql.extensions", "") or ""
+    if "IcebergSparkSessionExtensions" in exts:
+        return True
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in spark.sparkContext.getConf().getAll()
+    )
+
+
 def materialize_triples(
     triples: DataFrame,
     path: str,
@@ -190,16 +205,15 @@ def materialize_triples(
         # error: this sandbox ships no iceberg-spark-runtime jar, so the
         # branch documents exactly what a real cluster must configure.
         spark = triples.sparkSession
-        exts = spark.conf.get("spark.sql.extensions", "") or ""
-        if "IcebergSparkSessionExtensions" not in exts:
+        if not _iceberg_configured(spark):
             raise RuntimeError(
                 "iceberg: sink requires iceberg-spark-runtime on the "
-                "classpath and spark.sql.extensions="
-                "org.apache.iceberg.spark.extensions."
-                "IcebergSparkSessionExtensions plus a configured catalog "
-                "(none found in spark.sql.extensions). The parquet path "
-                "writes the identical subject-bucketed, salted layout — "
-                "use that in jar-less environments."
+                "classpath plus an Iceberg catalog (any spark.sql."
+                "catalog.<name>=org.apache.iceberg.spark.SparkCatalog; "
+                "the SQL extensions config alone also passes this "
+                "check). Neither was found. The parquet path writes the "
+                "identical subject-bucketed, salted layout — use that "
+                "in jar-less environments."
             )
         table = path[len("iceberg:") :]
         writer = out.writeTo(table).using("iceberg")

@@ -228,9 +228,11 @@ class TurtleParser:
         are assembled straight from match objects — no token list, no
         second walk. Returns True iff the ENTIRE document committed;
         any anomaly (bnode property lists, collections, RDF-star,
-        malformed directives, illegal tokens, strict-grammar violations
-        like ',,') raises _Bail and the caller re-parses from scratch,
-        so anomaly documents behave byte-identically to the slow path.
+        malformed directives, illegal tokens) raises _Bail and the
+        caller re-parses from scratch, so anomaly documents behave
+        byte-identically to the slow path. Repeated separators (',,'
+        and ';;') are NOT anomalies: both paths collapse them, matching
+        reader.rb:362's forgiving objectList/predicateObjectList.
         """
         scan = _FUSED.match
         wsm = _WS_RE.match

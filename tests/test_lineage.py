@@ -155,6 +155,52 @@ def test_iceberg_branch_requires_jars(spark, sf_dir):
         materialize_triples(t, "iceberg:local.db.graph")
 
 
+def test_iceberg_gate_accepts_catalog_only_config(spark):
+    """A cluster configured with just an Iceberg catalog (no SQL
+    extensions) must pass the capability gate — DataFrameWriterV2 only
+    needs the catalog. Exercised against stub sessions so the check's
+    two signals are pinned independently of this sandbox's conf."""
+    from kgt.spark.write import _iceberg_configured
+
+    class _Conf:
+        def __init__(self, extensions):
+            self._e = extensions
+
+        def get(self, key, default=None):
+            return self._e if key == "spark.sql.extensions" else default
+
+    class _SC:
+        def __init__(self, pairs):
+            self._p = pairs
+
+        def getConf(self):
+            sc = self
+
+            class _G:
+                def getAll(self_inner):
+                    return sc._p
+
+            return _G()
+
+    class _Spark:
+        def __init__(self, extensions, pairs):
+            self.conf = _Conf(extensions)
+            self.sparkContext = _SC(pairs)
+
+    cat = [("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")]
+    assert _iceberg_configured(_Spark("", cat))
+    assert _iceberg_configured(
+        _Spark(
+            "org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions",
+            [],
+        )
+    )
+    assert not _iceberg_configured(_Spark("", [("spark.master", "local")]))
+    # the real sandbox session has neither signal
+    assert not _iceberg_configured(spark)
+
+
 def test_build_graph_link_stage(spark, sf_dir, tmp_path):
     """End-to-end north-rule run via the production entry point with
     the entity-linking stage on: parse triples AND <urn:kg:mentions>
