@@ -137,7 +137,10 @@ def parse_fastpath(docs: DataFrame) -> DataFrame:
             ),
         )
         quoted_nt = F.when(
-            lit_suffix.startswith("@"), F.concat(lit_body, lit_suffix)
+            # language tags downcase at construction (RDF.rb Literal
+            # behavior; kgt/turtle/terms.py literal_term) — the --dir
+            # suffix is already lowercase-only per the LANG_DIR terminal
+            lit_suffix.startswith("@"), F.concat(lit_body, F.lower(lit_suffix))
         ).when(
             lit_suffix.startswith("^^"),
             F.concat(lit_body, F.lit("^^"), dt_nt),

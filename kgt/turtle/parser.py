@@ -737,7 +737,8 @@ class TurtleParser:
         return got
 
     def _literal(self, lexical, datatype=None, lang=None, direction=None):
-        t = ("L", lexical, datatype, lang, direction)
+        # language tags downcase at construction (see tm.literal_term)
+        t = tm.literal_term(lexical, datatype, lang, direction)
         if self.canonicalize:
             t = tm.canonicalize(t)
         return t
@@ -754,7 +755,10 @@ class TurtleParser:
         for t in (s, p, o):
             if t[0] == "L" and not tm.literal_valid(t):
                 return False
-            if t[0] == "I" and not urilib.is_absolute(t[1]):
+            if t[0] == "I" and (
+                not urilib.is_absolute(t[1])
+                or urilib.has_illegal_chars(t[1])
+            ):
                 return False
         return True
 

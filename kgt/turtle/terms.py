@@ -44,7 +44,13 @@ def bnode_term(label: str):
 
 
 def literal_term(lexical: str, datatype=None, lang=None, direction=None):
-    return ("L", lexical, datatype, lang, direction)
+    # RDF.rb downcases language tags at Literal CONSTRUCTION, not just
+    # under canonicalize (rdf gem model/literal.rb; pinned by the
+    # reference's "should allow mixed-case language" spec, which expects
+    # "xyz"@en from @EN with validate:false and no canonicalization) —
+    # BCP 47 tags are case-insensitive, RDF 1.1 Concepts normalizes to
+    # lowercase in the value space.
+    return ("L", lexical, datatype, lang.lower() if lang else lang, direction)
 
 
 def quoted_term(s, p, o):

@@ -115,3 +115,16 @@ def resolve(base: str, ref: str) -> str:
         merged = _merge(b_auth, b_path, r_path)
         t = (b_scheme, b_auth, remove_dot_segments(merged), r_query, r_frag)
     return unsplit(*t)
+
+
+# Characters an IRI may never contain in ANY component (RFC 3987's
+# iunreserved/ipchar exclusions that IRIREF's raw-char class also bans:
+# C0 controls, space, <>"{}|^`\ ). The lexer rejects them RAW, but UCHAR
+# escapes (  etc.) smuggle them past the terminal — RDF.rb's
+# RDF::URI#valid? catches that at statement level (reader.rb:173
+# statement.invalid? under validate), so validate mode must too.
+_ILLEGAL_IRI_RE = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def has_illegal_chars(iri: str) -> bool:
+    return _ILLEGAL_IRI_RE.search(iri) is not None

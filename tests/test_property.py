@@ -118,7 +118,10 @@ _literal = st.one_of(
         lambda s: ("L", s, "http://www.w3.org/2001/XMLSchema#token", None, None)
     ),
     st.tuples(
-        _plain_text, st.from_regex(r"[a-z]{2}(-[A-Za-z0-9]{1,4})?", fullmatch=True)
+        # lowercase only: language tags downcase at term construction
+        # (kgt/turtle/terms.py literal_term), so a mixed-case tag in a
+        # raw tuple is not a constructible term
+        _plain_text, st.from_regex(r"[a-z]{2}(-[a-z0-9]{1,4})?", fullmatch=True)
     ).map(lambda t: ("L", t[0], None, t[1], None)),
 )
 _term = st.one_of(_iri, _bnode, _literal)
