@@ -87,6 +87,23 @@ def corpora():
         body = open(f"{EXAMPLES}/../{name}", encoding="utf-8").read()
         docs.append(("shipped_nt", name, body, body, ""))
 
+    # vendored W3C rdf11 eval pairs (tests/vendor/rdf11, manifest-driven)
+    # replayed through the SPARK pipeline — the north-rule phrasing is
+    # "W3C Turtle test-suite semantics replayed over the transcript
+    # corpus", so these ride the same turn-split/shuffle/reassemble path
+    from tests.test_manifest_suite import R11_EVAL, VENDOR11
+
+    for name, _kind, action, result in R11_EVAL:
+        docs.append(
+            (
+                "w3c_rdf11_eval",
+                name,
+                open(os.path.join(VENDOR11, action), encoding="utf-8").read(),
+                open(os.path.join(VENDOR11, result), encoding="utf-8").read(),
+                "http://www.w3.org/2013/TurtleTests/" + action,
+            )
+        )
+
     # every other shipped example .ttl: golden = the (unit-suite-pinned)
     # scalar parser's emission; checks the full Spark pipeline (turn
     # split → shuffle → reassemble → Arrow parse) loses/invents nothing

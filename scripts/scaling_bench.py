@@ -188,7 +188,8 @@ def main():
         ),
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out = os.environ.get("KGT_SCALING_OUT", "BENCH_SCALING.json")
+    with open(os.path.join(REPO, out), "w") as f:
         json.dump(result, f, indent=2)
 
 
