@@ -35,11 +35,18 @@ ARROW_OK = {
     "kg_ntriples_c14n",
     "kg_pretty_nested",
     "multimodal_decode",
+    "multimodal_decode_real",
     "multimodal_resize",
     "multimodal_frames",
 }
 # brute-force ANN intentionally broadcast-NL-joins the tiny query set
-CARTESIAN_OK = {"sim_topk"}
+CARTESIAN_OK = {
+    "sim_topk",
+    # IVF assign='join': every vector scores against the BROADCAST
+    # centroid table (a few KB) — a broadcast NL join by construction,
+    # the scale-safe alternative to the O(n_cells) literal expression
+    "sim_topk_ivf_join",
+}
 
 
 def main():
