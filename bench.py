@@ -60,16 +60,28 @@ def main():
     # warm the JVM/Arrow paths once with a tiny action
     spark.range(1000).count()
 
+    # Per-query time = MIN of n_samples back-to-back runs (default 2).
+    # The sandbox VM's run-to-run noise reached 3.6× on identical jobs
+    # in round 4 (see BENCH.md "noise methodology"); a single cold
+    # sample per query made per-round comparisons lottery draws, and
+    # min-of-samples is the established low-interference estimator the
+    # scaling bench already uses. Set KGT_BENCH_SAMPLES=1 to reproduce
+    # the old single-shot behavior.
+    n_samples = int(os.environ.get("KGT_BENCH_SAMPLES", "2"))
     times = {}
     extra = {}
     total = 0.0
     for name in headline:
         fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
-        total += dt
+        best = None
+        n = 0
+        for _ in range(max(n_samples, 1)):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        total += best
         extra[f"{name}_rows"] = n
 
     # ANN quality: IVF recall@5 vs brute force (the bench's accuracy
