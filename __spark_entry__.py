@@ -1036,6 +1036,72 @@ def _q_multimodal_decode_real(spark, sf_dir):
     )
 
 
+def _q_multimodal_audio_real(spark, sf_dir):
+    """The REAL audio codec path under the oracle (fake=False), the
+    WAV twin of multimodal_decode_real: deterministic 16-bit PCM —
+    frames from text length, channels/rate from doc_id, sample k =
+    (doc_id·7+k) mod 65536 − 32768 — is ENCODED to canonical RIFF/WAVE
+    in one mapInPandas stage (from-scratch stdlib encoder) and DECODED
+    in a second (signature + RIFF-size + chunk-walk + whole-frame
+    validation), emitting the decoded format params and PCM sum. The
+    oracle reproduces every column arithmetically (the same wraparound
+    CASE as the PNG pixel sum, modulus 65536), so a decoder that
+    mis-walks chunks, mis-reads fmt, or mis-frames data hash-fails."""
+    import pandas as pd
+
+    from kgt.textops.multimodal import decode_wav, encode_wav
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                doc_id, L = int(doc_id), int(L)
+                n_frames = L % 80 + 1
+                nch = doc_id % 2 + 1
+                rate = 8000 * (doc_id % 3 + 1)
+                n = n_frames * nch
+                samples = [
+                    ((doc_id * 7 + k) % 65536) - 32768 for k in range(n)
+                ]
+                payloads.append(encode_wav(nch, rate, samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches):
+        import struct
+
+        for pdf in batches:
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                nch, rate, bits, n_frames, data = decode_wav(bytes(p))
+                vals = struct.unpack(f"<{n_frames * nch}h", data)
+                recs.append(
+                    (int(doc_id), nch, rate, bits, n_frames, sum(vals))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "bits",
+                    "n_frames", "pcm_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        dec,
+        schema=(
+            "doc_id long, n_channels int, sample_rate int, bits int, "
+            "n_frames long, pcm_sum long"
+        ),
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Longest-side-cap resize plumbing (mapInPandas, 1→1); stubbed
     decode, real batch shape — dims + integer scaling oracle-checked."""
@@ -1112,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
+        "multimodal_audio_real": _q_multimodal_audio_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -2012,6 +2079,31 @@ def oracle_sql() -> dict[str, str]:
                       ELSE (256 - a) * a + (256 - a) * (255 - a) // 2
                            + ((n % 256) - 256 + a) * ((n % 256) - 256 + a - 1) // 2
                  END AS BIGINT) AS pixel_sum
+        FROM dims
+    """
+
+    # WAV twin of the PNG oracle: same wraparound-sum CASE at modulus
+    # 65536, then the signed-PCM shift (-32768 per sample). n < 65536
+    # always (<= 160 samples), so the sum never wraps twice.
+    sqls["multimodal_audio_real"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+                 CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+                 CAST(length(text) % 80 + 1 AS BIGINT) AS n_frames,
+                 (doc_id * 7) % 65536 AS a,
+                 (length(text) % 80 + 1) * (doc_id % 2 + 1) AS n
+          FROM documents
+        )
+        SELECT doc_id, n_channels, sample_rate,
+               CAST(16 AS INTEGER) AS bits,
+               n_frames,
+               CAST(
+                 CASE WHEN a + n <= 65536
+                      THEN n * a + n * (n - 1) // 2
+                      ELSE (65536 - a) * a + (65536 - a) * (65535 - a) // 2
+                           + (n - 65536 + a) * (n - 65536 + a - 1) // 2
+                 END - n * 32768 AS BIGINT) AS pcm_sum
         FROM dims
     """
 

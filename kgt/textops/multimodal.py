@@ -9,11 +9,15 @@ two-tier:
   CRC32; all five scanline filters) lives in this module, so
   ``fake=False`` genuinely decodes PNG payloads — dims, pixels, and
   chunk CRCs, no codec libraries needed.
-* everything else (JPEG, audio, video) is STUBBED: ``fake=False``
-  raises NotImplementedError naming the formats supported, and
-  ``fake=True`` emits a deterministic fake feature row (byte length +
-  md5 checksum + checksum-derived dimensions) so the batch plumbing is
-  oracle-checked end-to-end regardless of codecs.
+* WAV/PCM is REAL: a from-scratch RIFF/WAVE decoder/encoder (chunk
+  walk with even-byte padding, canonical ``fmt ``, integer PCM at
+  8/16 bits), so ``decode_audio_features(fake=False)`` genuinely
+  parses audio payloads.
+* everything else (JPEG, compressed audio, video) is STUBBED:
+  ``fake=False`` raises NotImplementedError naming the formats
+  supported, and ``fake=True`` emits a deterministic fake feature row
+  (byte length + md5 checksum + checksum-derived dimensions) so the
+  batch plumbing is oracle-checked end-to-end regardless of codecs.
 """
 
 from __future__ import annotations
@@ -64,6 +68,99 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_wav(
+    n_channels: int, sample_rate: int, samples, bits: int = 16
+) -> bytes:
+    """Minimal from-scratch RIFF/WAVE encoder (integer PCM, format tag
+    1): ``RIFF``/``WAVE`` header, canonical ``fmt `` chunk, one
+    ``data`` chunk of little-endian samples. ``samples`` is a flat
+    interleaved sequence of ints (length = n_frames · n_channels).
+    Companion to :func:`decode_wav`; the tests build synthetic audio
+    fixtures with it and the round trip pins both."""
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes(samples)  # 8-bit WAV PCM is unsigned
+    else:
+        raise NotImplementedError(f"encode_wav supports 8/16-bit, got {bits}")
+    if len(samples) % n_channels:
+        raise ValueError(
+            f"{len(samples)} samples do not interleave into "
+            f"{n_channels} channels"
+        )
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """From-scratch stdlib RIFF/WAVE decoder → (n_channels,
+    sample_rate, bits, n_frames, data bytes little-endian interleaved).
+
+    Validates the RIFF/WAVE signature and the declared RIFF size, walks
+    the chunk list with the spec's even-byte padding, requires ``fmt ``
+    before ``data``, and checks the data length divides into whole
+    frames. Supported: integer PCM (format tag 1) at 8/16 bits — the
+    canonical uncompressed shape; compressed/float formats raise
+    NotImplementedError naming the tag, same contract as
+    :func:`decode_png`'s unsupported-shape error."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE signature)")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size != len(payload) - 8:
+        raise ValueError(
+            f"RIFF size {riff_size} != payload size {len(payload) - 8}"
+        )
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError(f"WAV chunk {tag!r} truncated")
+        if tag == b"fmt ":
+            audio_format, n_channels, sample_rate, _br, block_align, bits = (
+                struct.unpack("<HHIIHH", data[:16])
+            )
+            if audio_format != 1:
+                raise NotImplementedError(
+                    "decode_wav supports integer PCM (format tag 1); "
+                    f"got format tag {audio_format} — compressed/float "
+                    "WAV needs codec libraries not present here"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(
+                    f"decode_wav supports 8/16-bit PCM, got {bits}"
+                )
+            fmt = (n_channels, sample_rate, bits, block_align)
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n_channels, sample_rate, bits, block_align = fmt
+            if ln % block_align:
+                raise ValueError(
+                    f"WAV data size {ln} is not a whole number of "
+                    f"{block_align}-byte frames"
+                )
+            return (n_channels, sample_rate, bits, ln // block_align, data)
+        pos += 8 + ln + (ln & 1)  # chunks are padded to even offsets
+    raise ValueError("WAV has no data chunk")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -209,6 +306,56 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum string, "
+    "n_channels int, sample_rate int, bits int, n_frames long"
+)
+
+
+def decode_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas audio-feature extraction over binary payloads — the
+    audio twin of :func:`decode_features`, same batch contract.
+
+    ``fake=False`` runs the REAL from-scratch RIFF/WAVE parser
+    (:func:`decode_wav`) — non-WAV payloads raise, exactly like
+    ``decode_features`` on non-PNG. ``fake=True`` derives deterministic
+    fake audio metadata from the payload checksum (rate from the first
+    hex bytes, frames from the next), so the plumbing stays
+    oracle-checkable in codec-less environments."""
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, p, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                p = bytes(p)
+                checksum = hashlib.md5(p).hexdigest()
+                if fake:
+                    rate = int(checksum[:4], 16) % 48000 + 8000
+                    frames = int(checksum[4:8], 16) % 100000 + 1
+                    recs.append(
+                        (int(doc_id), mt, len(p), checksum, 1, rate, 16, frames)
+                    )
+                else:
+                    nch, rate, bits, frames, _data = decode_wav(p)
+                    recs.append(
+                        (
+                            int(doc_id), mt, len(p), checksum,
+                            nch, rate, bits, frames,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "checksum",
+                    "n_channels", "sample_rate", "bits", "n_frames",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 RESIZE_SCHEMA = (

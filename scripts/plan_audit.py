@@ -36,6 +36,7 @@ ARROW_OK = {
     "kg_pretty_nested",
     "multimodal_decode",
     "multimodal_decode_real",
+    "multimodal_audio_real",
     "multimodal_resize",
     "multimodal_frames",
 }
