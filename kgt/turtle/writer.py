@@ -619,8 +619,20 @@ class _PrettyWriter:
         for index, value in enumerate(values):
             if index > 0:
                 self.write(" ")
-            self.path(value, position)
-            position = "object"
+            # DOCUMENTED DEVIATION from writer.rb:546: the reference
+            # passes the COLLECTION's position through to its first
+            # element, so a nested list heading a subject-position
+            # collection hits collection(inner, :subject)'s
+            # ref_count>0 refusal, falls to a bare bnode label, and —
+            # because order_subjects excludes list-internal heads
+            # (writer.rb:391-400) — the inner list's triples are
+            # silently DROPPED from the document. Elements of a
+            # collection are rdf:first objects by construction, so
+            # "object" is the semantically correct position and makes
+            # ((1 2) (3 4)) :p :o . round-trip; object-position
+            # collections are byte-identical either way (their
+            # position is already "object").
+            self.path(value, "object")
         for n in nodes:
             self.subject_done(n)
         self.depth -= 1
@@ -726,6 +738,17 @@ class _PrettyWriter:
         self._preprocess(statements)
         self.start_document()
         for subject in self.order_subjects():
+            if not self.is_done(subject):
+                self.statement(subject)
+        # No-data-loss net (deviation, see collection()): order_subjects
+        # excludes list-internal nodes on the assumption they were
+        # inlined; a bnode list ELEMENT that is also referenced
+        # elsewhere (ref_count > 1) is excluded but NOT inlinable, and
+        # the reference silently drops its triples (writer.rb:395-400).
+        # Emit anything still pending so every input statement reaches
+        # the document; on all inlinable shapes this loop writes
+        # nothing and the output is byte-identical to the reference's.
+        for subject in self.subject_order:
             if not self.is_done(subject):
                 self.statement(subject)
         return "".join(self.out)

@@ -25,7 +25,9 @@ def parse_errors(ttl: str, **options):
     return errors
 
 
-_BNODE_RE = re.compile(r"_:[A-Za-z0-9_]+")
+# label chars per BLANK_NODE_LABEL: dots allowed INSIDE but not final,
+# so "_:a.b ." captures "_:a.b" while the statement terminator stays out
+_BNODE_RE = re.compile(r"_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?")
 
 
 def canon_bnodes(lines) -> set:

@@ -254,6 +254,40 @@ def test_rdf11_negative_eval(name, kind, action, result):
 
 
 @pytest.mark.parametrize(
+    "name,kind,action,result",
+    R11_EVAL + R11_POS,
+    ids=[t[0] for t in R11_EVAL + R11_POS],
+)
+def test_rdf11_writer_roundtrip(name, kind, action, result):
+    """Pretty-writer fuzz over the W3C corpus: every parseable rdf11
+    snapshot document must survive parse → serialize_pretty → re-parse
+    graph-identically (writer_spec.rb's round-trip strategy, driven by
+    the same manifest as the reader tests)."""
+    from kgt.turtle.writer import serialize_pretty
+
+    ttl = open(os.path.join(VENDOR11, action), encoding="utf-8").read()
+    base = "http://www.w3.org/2013/TurtleTests/" + action
+    stmts, errs = TurtleParser(base_uri=base).parse(ttl)
+    assert not errs, errs[:3]
+    out = serialize_pretty(stmts)
+    # numeric literals compare by VALUE: the writer canonicalizes
+    # not-bare-writable lexical forms exactly like the reference
+    # (writer.rb:282-296 falls back to literal.canonicalize for e.g.
+    # "-.25"), so "-.25" legitimately round-trips as "-0.25"
+    lines1 = [
+        _canon_numeric(f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .")
+        for s, p, o in stmts
+    ]
+    re_stmts, re_errs = TurtleParser().parse(out)
+    assert not re_errs, (re_errs[:3], out)
+    lines2 = [
+        _canon_numeric(f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .")
+        for s, p, o in re_stmts
+    ]
+    assert canon_bnodes(lines1) == canon_bnodes(lines2), out
+
+
+@pytest.mark.parametrize(
     "name,kind,action,result", STAR_EVAL, ids=[t[0] for t in STAR_EVAL]
 )
 def test_star_eval(name, kind, action, result):

@@ -234,3 +234,27 @@ class TestWriterOptions:
             for s, p, o in stmts
         ]
         assert canon_bnodes(lines1) == canon_bnodes(parse_nt(out))
+
+
+class TestCollectionDataLossDeviations:
+    """Two shapes where the REFERENCE writer silently drops triples
+    (documented deviations; see collection() and serialize() in
+    kgt/turtle/writer.py): every statement must survive the round trip.
+    """
+
+    def test_nested_collection_as_subject(self):
+        # writer.rb:546 would emit a dangling bare label for the inner
+        # list and lose its 4 triples
+        _roundtrip("@prefix : <http://e/> . ((1 2) (3 4)) :p :o .")
+
+    def test_single_nested_collection_as_subject(self):
+        _roundtrip("@prefix : <http://e/> . ((1 2)) :p :o .")
+
+    def test_list_element_bnode_referenced_elsewhere(self):
+        # _:b is a list element AND an object of another triple
+        # (ref_count 2): not inlinable, excluded from top-level by
+        # order_subjects — the no-data-loss net must emit it
+        _roundtrip(
+            "@prefix : <http://e/> . :s :p (_:b) . :x :q _:b . "
+            "_:b :r :z ."
+        )
