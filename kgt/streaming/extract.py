@@ -145,3 +145,98 @@ def stateful_extract(
         .option("path", f"{out_dir}/stream_triples")
         .start()
     )
+
+
+DEDUP_STATE_SCHEMA = "first_doc_id long, n_seen long"
+DEDUP_SCHEMA = (
+    "doc_id long, fingerprint string, is_duplicate boolean, "
+    "dup_of long, n_seen long"
+)
+
+
+def _dedup_fn(ttl_seconds: int):
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # fingerprint idle past the TTL: retire its state. Memory
+            # stays bounded by ACTIVE fingerprints; a duplicate arriving
+            # after the TTL re-registers as an original (the documented
+            # at-most-TTL dedup horizon every streaming dedup has).
+            state.remove()
+            return
+        rows = []
+        if state.exists:
+            first_id, n_seen = state.get
+        else:
+            first_id, n_seen = None, 0
+        (fp,) = key
+        for pdf in pdf_iter:
+            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+                n_seen += 1
+                if first_id is None:
+                    first_id = doc_id
+                    rows.append((doc_id, fp, False, None, n_seen))
+                else:
+                    rows.append((doc_id, fp, True, first_id, n_seen))
+        state.update((first_id, n_seen))
+        state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "fingerprint", "is_duplicate", "dup_of", "n_seen",
+            ],
+        )
+
+    return fn
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    ttl_seconds: int = 3600,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming EXACT dedup — the continuous-ingest twin of
+    kgt.textops.dedup.exact_duplicates for a training-data feed.
+
+    The content fingerprint (md5 of whitespace-normalized lowercased
+    text — the same normalization as the batch operator, computed
+    JVM-side) keys an applyInPandasWithState operator: the first
+    arrival of a fingerprint emits ``is_duplicate=false``, every later
+    arrival emits ``is_duplicate=true, dup_of=<first doc_id>``.
+    Per-fingerprint state is two longs and retires after
+    ``ttl_seconds`` of inactivity (processing-time timeout), so state
+    is bounded by fingerprints ACTIVE within the TTL window, not by
+    corpus size — the property that lets this run forever at ingest
+    scale. Within a micro-batch, arrival order ties break by doc_id so
+    reruns are deterministic.
+
+    Returns the started StreamingQuery (parquet sink, append mode).
+    """
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    out = (
+        stream_df.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            _dedup_fn(ttl_seconds),
+            outputStructType=DEDUP_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", f"{out_dir}/stream_dedup")
+    )
+    # rows emit on ARRIVAL (the TTL timeout only retires state), so an
+    # availableNow run drains the backlog and terminates — unlike
+    # stateful_extract, whose emissions require the timeout to fire
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -149,3 +149,69 @@ def test_stateful_extract(spark, input_dir, tmp_path):
         time.sleep(2)
     q.stop()
     assert n == 18
+
+
+def _drain(spark, q, sink_path, want_rows, deadline_s=120):
+    """Poll the sink until it holds want_rows, then stop the query.
+    The TTL's processing-time timeout keeps a stateful query alive even
+    under availableNow (pending state retirements), so neither
+    awaitTermination nor processAllAvailable returns promptly — the
+    sink row count is the drain signal."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        try:
+            if spark.read.parquet(sink_path).count() >= want_rows:
+                break
+        except Exception:
+            pass  # sink not created yet
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Stateful streaming exact-dedup: first arrival per fingerprint is
+    the original, later arrivals flag is_duplicate with dup_of pointing
+    at it; whitespace/case normalization matches the batch operator."""
+    from kgt.streaming.extract import streaming_dedup
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE  QUICK   brown fox"),  # dup of 1 after normalization
+        (3, "something else"),
+        (4, "the quick brown fox"),     # dup of 1
+        (5, "Something   ELSE"),        # dup of 3
+        (6, "unique document"),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_dedup(stream, out, ckpt, ttl_seconds=300)
+    _drain(spark, q, f"{out}/stream_dedup", 6)
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{out}/stream_dedup").collect()
+    }
+    assert len(got) == 6
+    assert not got[1]["is_duplicate"] and got[1]["dup_of"] is None
+    assert got[2]["is_duplicate"] and got[2]["dup_of"] == 1
+    assert got[4]["is_duplicate"] and got[4]["dup_of"] == 1
+    assert not got[3]["is_duplicate"]
+    assert got[5]["is_duplicate"] and got[5]["dup_of"] == 3
+    assert not got[6]["is_duplicate"]
+    assert got[4]["n_seen"] == 3  # third sighting of that fingerprint
+    # restart on the same checkpoint: no new input → no extra rows
+    q2 = streaming_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        out,
+        ckpt,
+        ttl_seconds=300,
+    )
+    _drain(spark, q2, f"{out}/stream_dedup", 6)
+    assert spark.read.parquet(f"{out}/stream_dedup").count() == 6
