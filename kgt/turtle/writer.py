@@ -456,8 +456,26 @@ class _PrettyWriter:
         self.ref_count: dict = {}
         self.by_subject: dict = {}  # subject -> {pred_iri: [objects]} in order
         self.subject_order: list = []
+        def bump_embedded(t):
+            # a bnode inside a quoted triple is a REFERENCE to that
+            # node: if it also has its own statements, anonymizing them
+            # as [...] would sever the co-reference (<< _:b :p :o >>
+            # and _:b :name "Bob" must reparse as ONE node). The
+            # reference's preprocess misses this (writer.rb:429 bumps
+            # only statement.object) and loses the link — documented
+            # deviation, same no-data-loss rationale as collection().
+            if t[0] == "Q":
+                for inner in t[1:]:
+                    if inner[0] == "B":
+                        self.ref_count[inner] = (
+                            self.ref_count.get(inner, 0) + 1
+                        )
+                    bump_embedded(inner)
+
         for s, p, o in stmts:
             self.ref_count[o] = self.ref_count.get(o, 0) + 1
+            bump_embedded(s)
+            bump_embedded(o)
             if s not in self.by_subject:
                 self.by_subject[s] = {}
                 self.subject_order.append(s)

@@ -288,6 +288,33 @@ def test_rdf11_writer_roundtrip(name, kind, action, result):
 
 
 @pytest.mark.parametrize(
+    "name,kind,action,result",
+    STAR_EVAL + STAR_POS,
+    ids=[t[0] for t in STAR_EVAL + STAR_POS],
+)
+def test_star_writer_roundtrip(name, kind, action, result):
+    """Pretty-writer fuzz over the Turtle-star snapshot: quoted triples
+    and annotations must survive parse → serialize_pretty → re-parse."""
+    from kgt.turtle.writer import serialize_pretty
+
+    ttl = open(os.path.join(VENDOR, action), encoding="utf-8").read()
+    stmts, errs = TurtleParser(rdfstar=True).parse(ttl)
+    assert not errs, errs[:3]
+    out = serialize_pretty(stmts)
+    lines1 = [
+        _canon_numeric(f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .")
+        for s, p, o in stmts
+    ]
+    re_stmts, re_errs = TurtleParser(rdfstar=True).parse(out)
+    assert not re_errs, (re_errs[:3], out)
+    lines2 = [
+        _canon_numeric(f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .")
+        for s, p, o in re_stmts
+    ]
+    assert canon_bnodes(lines1) == canon_bnodes(lines2), out
+
+
+@pytest.mark.parametrize(
     "name,kind,action,result", STAR_EVAL, ids=[t[0] for t in STAR_EVAL]
 )
 def test_star_eval(name, kind, action, result):
