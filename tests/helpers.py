@@ -25,9 +25,14 @@ def parse_errors(ttl: str, **options):
     return errors
 
 
-# label chars per BLANK_NODE_LABEL: dots allowed INSIDE but not final,
-# so "_:a.b ." captures "_:a.b" while the statement terminator stays out
-_BNODE_RE = re.compile(r"_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?")
+# BLANK_NODE_LABEL chars are PN_CHARS_U/PN_CHARS — full Unicode, dots
+# allowed INSIDE but not final. Every NT encoding this helper sees puts
+# whitespace after a label (statement terminators are " ."), so
+# "everything up to whitespace" captures exactly the label — including
+# "_:a.b" and non-ASCII labels an ASCII class would truncate. Fixture
+# assumption (pre-existing): literals in compared lines don't contain
+# the substring "_:".
+_BNODE_RE = re.compile(r"_:[^\s]+")
 
 
 def canon_bnodes(lines) -> set:
