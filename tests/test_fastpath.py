@@ -28,6 +28,7 @@ ns:m.012rkqx ns:votes 1234 .
 ns:m.012rkqx ns:score .75 .
 ns:m.012rkqx ns:active true .
 ns:m.012rkqx ns:label "Biff Tannen"@en .
+ns:m.012rkqx ns:alias "Biff"@EN-Latn .
 ns:m.012rkqx ns:len "2.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
 """
 
@@ -40,7 +41,9 @@ def test_fastpath_matches_grammar_parser(spark):
     fast = _triples_set(parse_fastpath(docs))
     slow = _triples_set(parse_documents(docs))
     assert fast == slow
-    assert len(fast) == 9
+    assert len(fast) == 10
+    # language tags downcase at construction on BOTH paths (@EN-Latn)
+    assert any(o.endswith('"@en-latn') for *_, o in fast)
 
 
 def test_fastpath_is_python_free(spark):
