@@ -1102,6 +1102,73 @@ def _q_multimodal_audio_real(spark, sf_dir):
     )
 
 
+def _q_multimodal_video_real(spark, sf_dir):
+    """The REAL video path under the oracle (fake=False semantics),
+    completing the PNG/WAV/Y4M trio: deterministic C420 YUV4MPEG2 —
+    even dims from text length, total frames L%7+2, frame f byte j =
+    (doc_id + f·31 + j) mod 256 — is ENCODED in one mapInPandas stage
+    (from-scratch stdlib Y4M writer) and DECODED in a second (magic +
+    header params + FRAME walk + plane-size validation), emitting one
+    row per frame with its 25fps timestamp and plane-byte sum. The
+    oracle reproduces geometry, frame fan-out (unnest(range)), ts and
+    the sum arithmetically (the PNG wraparound CASE), so a decoder
+    that mis-parses the header or mis-walks frames hash-fails."""
+    import pandas as pd
+
+    from kgt.textops.multimodal import decode_y4m, encode_y4m
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                doc_id, L = int(doc_id), int(L)
+                w = (L % 16 + 1) * 2
+                h = ((L * 3) % 16 + 1) * 2
+                n = w * h * 3 // 2
+                frames = [
+                    bytes((doc_id + f * 31 + j) % 256 for j in range(n))
+                    for f in range(L % 7 + 2)
+                ]
+                payloads.append(encode_y4m(w, h, frames, fps=(25, 1)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fn, fd, frames = decode_y4m(bytes(p))
+                for f, fb in enumerate(frames):
+                    recs.append(
+                        (
+                            int(doc_id), f, w, h,
+                            f * 1000 * fd // fn, sum(fb),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "ts_ms", "frame_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        dec,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "ts_ms long, frame_sum long"
+        ),
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Longest-side-cap resize plumbing (mapInPandas, 1→1); stubbed
     decode, real batch shape — dims + integer scaling oracle-checked."""
@@ -1179,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_audio_real": _q_multimodal_audio_real,
+        "multimodal_video_real": _q_multimodal_video_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -2105,6 +2173,39 @@ def oracle_sql() -> dict[str, str]:
                            + (n - 65536 + a) * (n - 65536 + a - 1) // 2
                  END - n * 32768 AS BIGINT) AS pcm_sum
         FROM dims
+    """
+
+    # Y4M triplet of the PNG/WAV oracles: frame fan-out via
+    # unnest(range(T)), per-frame byte sum via the mod-256 wraparound
+    # CASE with a = (doc_id + f*31) % 256
+    sqls["multimodal_video_real"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST((length(text) % 16 + 1) * 2 AS INTEGER) AS width,
+                 CAST(((length(text) * 3) % 16 + 1) * 2 AS INTEGER) AS height,
+                 length(text) % 7 + 2 AS T,
+                 (length(text) % 16 + 1) * 2
+                   * ((length(text) * 3) % 16 + 1) * 2 * 3 // 2 AS n
+          FROM documents
+        ), frames AS (
+          SELECT doc_id, width, height, n,
+                 CAST(unnest(range(0, T)) AS INTEGER) AS frame_idx
+          FROM dims
+        )
+        SELECT doc_id, frame_idx, width, height,
+               CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+               CAST((n // 256) * 32640 +
+                 CASE WHEN (doc_id + frame_idx * 31) % 256 + (n % 256) <= 256
+                      THEN (n % 256) * ((doc_id + frame_idx * 31) % 256)
+                           + (n % 256) * ((n % 256) - 1) // 2
+                      ELSE (256 - (doc_id + frame_idx * 31) % 256)
+                             * ((doc_id + frame_idx * 31) % 256)
+                           + (256 - (doc_id + frame_idx * 31) % 256)
+                             * (255 - (doc_id + frame_idx * 31) % 256) // 2
+                           + ((n % 256) - 256 + (doc_id + frame_idx * 31) % 256)
+                             * ((n % 256) - 256 + (doc_id + frame_idx * 31) % 256 - 1) // 2
+                 END AS BIGINT) AS frame_sum
+        FROM frames
     """
 
     sqls["multimodal_resize"] = """

@@ -37,6 +37,7 @@ ARROW_OK = {
     "multimodal_decode",
     "multimodal_decode_real",
     "multimodal_audio_real",
+    "multimodal_video_real",
     "multimodal_resize",
     "multimodal_frames",
 }

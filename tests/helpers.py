@@ -36,16 +36,17 @@ _BNODE_RE = re.compile(r"_:[^\s]+")
 
 
 def canon_bnodes(lines) -> set:
-    """Canonicalize bnode labels by iterative color refinement so two
-    graphs with different label schemes compare equal.
-
-    Each bnode's color is the multiset of its incident statements with
-    itself masked as SELF and other bnodes replaced by their current
-    color; refined to fixpoint (≤ n+1 rounds). Labels are assigned in
-    final-color order. Nodes still sharing a color after refinement are
-    automorphic for all fixtures used here, so any within-class order
-    yields the same line set. (Upgraded from first-occurrence masking,
-    which mislabeled graphs where two bnodes share a masked line.)
+    """Canonicalize bnode labels so two graphs with different label
+    schemes compare equal: iterative color refinement, then — when
+    refinement leaves automorphism classes (several bnodes sharing a
+    color) — individualization with lexicographic-minimum selection,
+    the standard I-R canonical-labeling scheme. Independent per-class
+    relabeling is NOT sound there: in {B→C, D→A} (all bnodes, same
+    shape) the subject class and object class must be relabeled with a
+    CONSISTENT pairing or isomorphic graphs diverge; trying each
+    individualization and keeping the smallest resulting line set is
+    label-independent and exact. Fixture graphs are small (≤ ~12
+    bnodes), so the branching cost is negligible.
     """
     import hashlib
 
@@ -57,29 +58,61 @@ def canon_bnodes(lines) -> set:
         b: [line for line in lines if b in _BNODE_RE.findall(line)]
         for b in bnodes
     }
-    colors = dict.fromkeys(bnodes, "0")
-    for _ in range(len(bnodes) + 1):
-        new = {}
-        for b in bnodes:
-            sig = sorted(
-                _BNODE_RE.sub(
-                    lambda m: "SELF" if m.group(0) == b else f"C{colors[m.group(0)]}",
-                    line,
+
+    def refine(colors):
+        for _ in range(len(bnodes) + 1):
+            new = {}
+            for b in bnodes:
+                sig = sorted(
+                    _BNODE_RE.sub(
+                        lambda m: "SELF"
+                        if m.group(0) == b
+                        else f"C{colors[m.group(0)]}",
+                        line,
+                    )
+                    for line in incident[b]
                 )
-                for line in incident[b]
-            )
-            new[b] = hashlib.md5("|".join(sig).encode()).hexdigest()
-        if len(set(new.values())) == len(set(colors.values())):
+                new[b] = hashlib.md5(
+                    (colors[b] + "|" + "|".join(sig)).encode()
+                ).hexdigest()
+            if len(set(new.values())) == len(set(colors.values())):
+                return new
             colors = new
-            break
-        colors = new
-    mapping = {
-        b: f"_:c{i}"
-        for i, b in enumerate(sorted(bnodes, key=lambda b: colors[b]))
-    }
-    return {
-        _BNODE_RE.sub(lambda m: mapping[m.group(0)], line) for line in lines
-    }
+        return colors
+
+    def solve(colors):
+        colors = refine(colors)
+        classes: dict = {}
+        for b in bnodes:
+            classes.setdefault(colors[b], []).append(b)
+        multi = [cls for cls in classes.values() if len(cls) > 1]
+        if not multi:
+            mapping = {
+                b: f"_:c{i}"
+                for i, b in enumerate(sorted(bnodes, key=lambda b: colors[b]))
+            }
+            return tuple(
+                sorted(
+                    _BNODE_RE.sub(lambda m: mapping[m.group(0)], line)
+                    for line in lines
+                )
+            )
+        # individualize each member of the first (smallest-color)
+        # non-singleton class; the lexicographic minimum over the
+        # branches is the canonical form
+        cls = min(multi, key=lambda c: colors[c[0]])
+        best = None
+        for b in cls:
+            branch = dict(colors)
+            branch[b] = "!" + branch[b]
+            got = solve(branch)
+            if best is None or got < best:
+                best = got
+        return best
+
+    if len(bnodes) > 24:  # I-R branching guard; fixtures never hit it
+        raise ValueError("canon_bnodes: too many bnodes for exact I-R")
+    return set(solve(dict.fromkeys(bnodes, "0")))
 
 
 def normalize_nt(text: str) -> list[str]:
