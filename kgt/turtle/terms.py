@@ -109,9 +109,21 @@ def nt_encode(term) -> str:
 # XSD 1.1 lexical spaces; year 0000 is excluded (matrix pins 0000-01-01 invalid),
 # leading '+' on dates invalid, 5-digit years must not start with 0.
 _YEAR = r"-?(?:[1-9][0-9]{3,}|0[0-9]{3})"
-_DATE_BODY = rf"{_YEAR}-[0-9]{{2}}-[0-9]{{2}}"
-_TZ = r"(?:Z|[+-][0-9]{2}:[0-9]{2})?"
-_TIME_BODY = r"[0-9]{2}:[0-9]{2}:[0-9]{2}(?:\.[0-9]+)?"
+# month/day/hour/minute/second/timezone FRAGMENT ranges are part of the
+# XSD 1.1 LEXICAL grammar (monthFrag 01-12, dayFrag 01-31, hourFrag
+# 00-23 with the special 24:00:00 end-of-day form, tz -14:00..+14:00) —
+# "2026-13-40" is lexically invalid, not just value-invalid, and
+# RDF::Literal::Date#valid? rejects it under the reader's validate
+# option. Day-in-month semantics (Feb 30, leap years) are value-space
+# and not checked here.
+_MONTH = r"(?:0[1-9]|1[0-2])"
+_DAY = r"(?:0[1-9]|[12][0-9]|3[01])"
+_DATE_BODY = rf"{_YEAR}-{_MONTH}-{_DAY}"
+_TZ = r"(?:Z|[+-](?:0[0-9]|1[0-3]):[0-5][0-9]|[+-]14:00)?"
+_TIME_BODY = (
+    r"(?:(?:[01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](?:\.[0-9]+)?"
+    r"|24:00:00(?:\.0+)?)"
+)
 
 _DT_PATTERNS = {
     XSD_BOOLEAN: re.compile(r"\A(?:true|false|1|0)\Z"),
