@@ -2111,10 +2111,6 @@ def oracle_sql() -> dict[str, str]:
         FROM qual q LEFT JOIN comps c ON c.doc_id = q.doc_id
     """
 
-    # doc_fingerprint: fp_rolling_min uses xxhash64 — rows-only; but
-    # fp_exact alone IS expressible, so check a projection-free variant?
-    # keep rows-only for the combined op (see dedup_exact for the md5 path)
-
     sqls["multimodal_decode"] = """
         SELECT doc_id, 'image/fake' AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -160,10 +160,24 @@ def _iceberg_configured(spark) -> bool:
     exts = spark.conf.get("spark.sql.extensions", "") or ""
     if "IcebergSparkSessionExtensions" in exts:
         return True
-    return any(
+    if any(
         k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
         for k, v in spark.sparkContext.getConf().getAll()
-    )
+    ):
+        return True
+    # Catalogs configured AFTER launch via spark.conf.set(...) live in
+    # the session's runtime SQL conf, not the static SparkConf above —
+    # legitimate for the DataFrameWriterV2 path, so check there too
+    # (round-4 ADVICE). SET -v would miss unlisted keys; SET lists all
+    # explicitly-set pairs.
+    try:
+        return any(
+            str(r["key"]).startswith("spark.sql.catalog.")
+            and "iceberg" in str(r["value"]).lower()
+            for r in spark.sql("SET").collect()
+        )
+    except Exception:
+        return False
 
 
 def materialize_triples(

@@ -169,14 +169,21 @@ def _dedup_fn(ttl_seconds: int):
         else:
             first_id, n_seen = None, 0
         (fp,) = key
-        for pdf in pdf_iter:
-            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-                n_seen += 1
-                if first_id is None:
-                    first_id = doc_id
-                    rows.append((doc_id, fp, False, None, n_seen))
-                else:
-                    rows.append((doc_id, fp, True, first_id, n_seen))
+        # Drain ALL pandas chunks for this key before sorting: Arrow may
+        # split one fingerprint group across chunks, and a per-chunk sort
+        # would make first_id depend on batch boundaries (non-determinism
+        # flagged in round-4 ADVICE). One sort over the union restores
+        # "ties break by doc_id" regardless of chunking.
+        batch_ids = sorted(
+            int(d) for pdf in pdf_iter for d in pdf["doc_id"]
+        )
+        for doc_id in batch_ids:
+            n_seen += 1
+            if first_id is None:
+                first_id = doc_id
+                rows.append((doc_id, fp, False, None, n_seen))
+            else:
+                rows.append((doc_id, fp, True, first_id, n_seen))
         state.update((first_id, n_seen))
         state.setTimeoutDuration(ttl_seconds * 1000)
         yield pd.DataFrame(

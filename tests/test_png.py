@@ -178,3 +178,56 @@ def test_spark_real_decode_path(spark):
     for i in range(6):
         assert (got[i]["width"], got[i]["height"]) == (4 + i, 3 + 2 * i)
         assert got[i]["n_bytes"] == len(rows[i][1])
+
+
+def test_truncated_chunk_raises_valueerror_not_struct_error():
+    """Payload cut mid-chunk (CRC slice short) must raise the
+    documented ValueError, not struct.error (round-4 ADVICE)."""
+    p = encode_png(4, 4, _px(4, 4, 3), color_type=2)
+    for cut in (len(p) - 2, len(p) - 6, 33):
+        with pytest.raises(ValueError, match="truncated PNG chunk"):
+            decode_png(p[:cut])
+
+
+def test_unfilter_vectorized_matches_scalar_reference():
+    """Pin the numpy unfilter against a straight-line scalar
+    re-implementation of the spec recurrences on a mixed-filter
+    image (all five filter types, RGBA so ch=4 lanes exercise the
+    channel vectorization)."""
+    import random
+
+    rng = random.Random(7)
+    w, h, ch = 13, 9, 4
+    stride = w * ch
+    px = bytes(rng.randrange(256) for _ in range(h * stride))
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        f = (y * 7 + 3) % 5  # cycles through 3,0,2,4,1,...
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                raw.append(line[i])
+            elif f == 1:
+                raw.append((line[i] - left) & 0xFF)
+            elif f == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif f == 3:
+                raw.append((line[i] - (left + up) // 2) & 0xFF)
+            else:
+                from kgt.textops.multimodal import _paeth
+
+                raw.append((line[i] - _paeth(left, up, ul)) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (w, h, ch, px)

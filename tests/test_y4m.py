@@ -92,3 +92,12 @@ def test_frame_sample_real_path(spark):
     )
     with pytest.raises(Exception, match="YUV4MPEG2"):
         frame_sample(bad, n_frames=2, fake=False).collect()
+
+
+def test_frame_marker_must_be_delimited():
+    """'FRAMExyz' is not a frame header — the byte after FRAME must be
+    a space (parameter list) or newline (round-4 ADVICE)."""
+    p = encode_y4m(2, 2, [bytes(6)])
+    junk = p.replace(b"FRAME\n", b"FRAMEX\n", 1)
+    with pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(junk)
