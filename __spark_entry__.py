@@ -951,6 +951,21 @@ def _q_sim_topk_ivf_join(spark, sf_dir):
     )
 
 
+def _q_sim_topk_ivf_trained(spark, sf_dir):
+    """IVF ANN over TRAINED cells, end-to-end under the oracle: two
+    deterministic Lloyd's iterations (train_centroids_det — quantized
+    integer centroid updates, so the training itself is bit-
+    reproducible in SQL), then the same literal-path probe/join as
+    sim_topk_ivf. The oracle unrolls both training iterations as CTEs,
+    so a drifting assignment rank, a wrong mean, or a float summation-
+    order dependence all hash-fail."""
+    from kgt.textops.similarity import ivf_topk, train_centroids_det
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = train_centroids_det(emb, n_cells=16, n_iter=2)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents)
+
+
 def _q_doc_langid(spark, sf_dir):
     from kgt.textops.quality import language_id
 
@@ -1239,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_join": _q_sim_topk_ivf_join,
+        "sim_topk_ivf_trained": _q_sim_topk_ivf_trained,
         "doc_langid": _q_doc_langid,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -2012,6 +2028,71 @@ def oracle_sql() -> dict[str, str]:
     # its oracle differs only in the seed count (300 > the 256-cell
     # literal/join crossover)
     sqls["sim_topk_ivf_join"] = _ivf_sql(300)
+
+    # TRAINED-cell IVF: unroll train_centroids_det's two Lloyd's
+    # iterations as CTE pairs. Each iteration: top-1 assignment by the
+    # shared rounded-cosine/cid ranking, then a QUANTIZED integer mean
+    # (round(val·1e6) summed as BIGINT — order-independent, so SQL and
+    # Spark agree bit-for-bit) → round(sum/(n·1e6), 6) per component.
+    # Empty cells drop out on both sides. Mirrors
+    # kgt.textops.similarity.train_centroids_det exactly.
+    def _lloyd_iter(i):
+        prev = "seeds0" if i == 1 else f"cents{i - 1}"
+        return f"""
+        r{i} AS (
+          SELECT e.vec_id, e.v, s.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_ccos.format(a="e.v", b="s.cv")} DESC, s.cid ASC) AS rn
+          FROM e CROSS JOIN {prev} s
+        ),
+        a{i} AS (SELECT v, cid FROM r{i} WHERE rn = 1),
+        x{i} AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                 FROM a{i}),
+        s{i} AS (SELECT cid, pos,
+                        SUM(CAST(round(val * 1000000) AS BIGINT)) AS s,
+                        COUNT(*) AS n
+                 FROM x{i} GROUP BY cid, pos),
+        cents{i} AS (SELECT cid,
+                            list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS cv
+                     FROM s{i} GROUP BY cid)"""
+
+    sqls["sim_topk_ivf_trained"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+        ),{_lloyd_iter(1)},{_lloyd_iter(2)},
+        base_rank AS (
+          SELECT e.vec_id, s.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_ccos.format(a="e.v", b="s.cv")} DESC, s.cid ASC) AS rn
+          FROM e CROSS JOIN cents2 s
+        ),
+        base AS (
+          SELECT b.vec_id AS neighbor_id, b.cid, e.v AS ev
+          FROM base_rank b JOIN e ON e.vec_id = b.vec_id WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        qrank AS (
+          SELECT q.query_id, s.cid, q.qv,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_ccos.format(a="q.qv", b="s.cv")} DESC, s.cid ASC) AS rn
+          FROM q CROSS JOIN cents2 s
+        ),
+        probe AS (SELECT query_id, cid, qv FROM qrank WHERE rn <= 2),
+        scored AS (
+          SELECT p.query_id, b.neighbor_id,
+                 {_ccos.format(a="p.qv", b="b.ev")} AS sim
+          FROM probe p JOIN base b USING (cid)
+          WHERE b.neighbor_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
 
     _occ = (
         lambda w: f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"

@@ -114,6 +114,20 @@ def main():
             4,
         )
     extra["ivf_recall_at_5"] = extra["ivf_recall_at_5_nprobe2"]
+    # trained-quantizer recall: the deterministic Lloyd's cells the
+    # sim_topk_ivf_trained oracle pins, same nprobe=2 probe budget
+    from kgt.textops.similarity import train_centroids_det
+
+    extra["ivf_recall_at_5_trained"] = round(
+        recall_at_k(
+            ivf_topk(
+                emb, qs_df, k=5, nprobe=2,
+                centroids=train_centroids_det(emb, n_cells=16, n_iter=2),
+            ),
+            exact5,
+        ),
+        4,
+    )
     if "dedup_ngram_jaccard_rows" in extra and extra["dedup_ngram_jaccard_rows"]:
         extra["lsh_candidate_ratio"] = round(
             extra["dedup_minhash_lsh_rows"] / extra["dedup_ngram_jaccard_rows"], 3

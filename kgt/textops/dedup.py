@@ -248,7 +248,8 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
+    probe_rounds: int = 5,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from a pair list: (doc_id, comp) where
     comp = the minimum doc_id reachable through the pair graph — the
@@ -274,7 +275,25 @@ def connected_components(
     Both loops localCheckpoint per round so lineage stays flat, and
     both RAISE if max_iter rounds don't converge — a silently-
     unconverged clustering would merge/split clusters wrongly.
+
+    ``auto`` (the default): the caller shouldn't need to know the graph
+    diameter. Probe with min-label for ``probe_rounds`` rounds — near-
+    dup graphs are usually 2-4 rounds deep and min-label has the lowest
+    per-round cost — and if the probe budget exhausts (a chain-shaped
+    graph), fall back to star's O(log n) contraction for the full
+    ``max_iter``. The probe work is discarded on fallback: both
+    implementations give identical output, so the only cost is
+    probe_rounds cheap joins, the same crossover pattern as
+    ``ivf_topk(assign='auto')``.
     """
+    if algorithm == "auto":
+        try:
+            return connected_components(
+                pairs, id_a, id_b, max_iter=probe_rounds,
+                algorithm="minlabel",
+            )
+        except RuntimeError:
+            return _cc_star(pairs, id_a, id_b, max_iter)
     if algorithm == "star":
         return _cc_star(pairs, id_a, id_b, max_iter)
     if algorithm != "minlabel":

@@ -124,6 +124,81 @@ def train_centroids(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+def _round6_half_up(x: float) -> float:
+    """Half-away-from-zero 6-decimal rounding — the convention Spark's
+    F.round and DuckDB's round() share (Python's builtin round is
+    banker's, which would drift at exact midpoints)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def train_centroids_det(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd's trainer — the ORACLE-CHECKABLE
+    trained quantizer (train_centroids' pyspark.ml k-means is higher
+    quality but not reproducible outside Spark).
+
+    Determinism engineering, per iteration:
+
+    * assignment: top-1 cell by the same rounded-cosine/cid-tiebreak
+      ranking ivf_topk uses (bit-identical across engines, pinned by
+      the existing IVF oracles);
+    * update: each member component is quantized to 1e-6
+      (round(val·1e6) as int64) BEFORE the per-cell sum, so the
+      reduction is integer arithmetic — exact and order-independent,
+      immune to float summation-order nondeterminism in either engine;
+      centroid component = round(sum / (n·1e6), 6), half away from
+      zero on both sides.
+    * empty cells drop out (their cid simply stops existing) — both
+      engines mirror this, no re-numbering.
+
+    At scale each iteration is one codegen projection + one partial-
+    agg shuffle of N·dim (cid, pos) rows; the collect is n_cells × dim
+    (metadata-sized). Returns [(cid, centroid)] like seed_centroids.
+    """
+    cents = seed_centroids(embeddings, n_cells, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    for _ in range(n_iter):
+        ranked = _cell_ranking(F.col("v"), cents)
+        assigned = e.select("v", ranked[0].alias("cid"))
+        ex = assigned.select(
+            "cid", F.posexplode("v").alias("pos", "val")
+        )
+        sums = ex.groupBy("cid", "pos").agg(
+            F.sum(F.round(F.col("val") * 1e6, 0).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = (
+            sums.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s", "n"))
+                ).alias("comps")
+            )
+            .collect()
+        )
+        cents = sorted(
+            (
+                int(r["cid"]),
+                [
+                    _round6_half_up(c["s"] / (c["n"] * 1e6))
+                    for c in r["comps"]
+                ],
+            )
+            for r in rows
+        )
+    return cents
+
+
 def _cell_ranking(vec_col, centroids):
     """Array of cids ordered by cosine-to-centroid desc (ties → lower
     cid): a PURE PROJECTION — the centroid table rides into the plan as

@@ -231,7 +231,7 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, algorithm="minlabel")
 
 
 def test_connected_components_star_agrees_with_minlabel(spark):
@@ -307,3 +307,45 @@ def test_simhash_matches_duckdb_bit_construction(spark):
     exp_hi = sum(1 << b for b in range(32) if votes_hi[b] > 0)
     exp_lo = sum(1 << b for b in range(32) if votes_lo[b] > 0)
     assert (sim["sim_hi"], sim["sim_lo"]) == (exp_hi, exp_lo)
+
+
+def test_connected_components_auto_shallow_uses_minlabel(spark, monkeypatch):
+    """auto on a shallow graph must converge inside the min-label probe
+    and never touch the star fallback."""
+    import kgt.textops.dedup as dd
+
+    def boom(*a, **k):
+        raise AssertionError("star fallback must not run on shallow graphs")
+
+    monkeypatch.setattr(dd, "_cc_star", boom)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in dd.connected_components(pairs, algorithm="auto").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_auto_chain_falls_back_to_star(spark, monkeypatch):
+    """auto on the 1000-doc chain: the min-label probe exhausts its
+    round budget and auto must hand the full budget to star — same
+    fixpoint, O(log n) rounds."""
+    import kgt.textops.dedup as dd
+
+    called = {}
+    real_star = dd._cc_star
+
+    def spy(pairs, id_a, id_b, max_iter):
+        called["max_iter"] = max_iter
+        return real_star(pairs, id_a, id_b, max_iter)
+
+    monkeypatch.setattr(dd, "_cc_star", spy)
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = dd.connected_components(pairs, algorithm="auto", max_iter=15).collect()
+    assert called["max_iter"] == 15
+    assert len(got) == n + 1 and all(r["comp"] == 0 for r in got)
