@@ -1051,6 +1051,70 @@ def _q_multimodal_decode_real(spark, sf_dir):
     )
 
 
+def _q_multimodal_jpeg_real(spark, sf_dir):
+    """The COMPRESSED codec path under the oracle (baseline JPEG,
+    from-scratch huffman/DCT codec — kgt/textops/jpeg.py): per doc a
+    deterministic solid-color image (color from doc_id, dims from text
+    length, subsampling alternating 4:4:4 / 4:2:0 by doc parity) is
+    ENCODED in one mapInPandas stage and DECODED in a second.  A
+    constant block's AC coefficients are exactly zero, so the decode
+    takes the exact DC-only path and the decoded color has a closed
+    form (solid_color_roundtrip): RGB→YCbCr floor+0.5 → DC
+    quantization at the quality-75-scaled table heads (8 luma, 9
+    chroma) → floor(dc·q/8 + 128.5) → YCbCr→RGB floor+0.5.  The
+    oracle reproduces that arithmetic per doc, so a huffman mis-decode,
+    wrong dequant, broken MCU interleave, bad 4:2:0 upsample, or a
+    rounding-convention drift all hash-fail."""
+    import pandas as pd
+
+    from kgt.textops.jpeg import decode_jpeg, encode_jpeg
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                w, h = L % 29 + 1, (L * 5) % 23 + 1
+                rgb = bytes(((d * 37) % 256, (d * 57) % 256, (d * 77) % 256))
+                payloads.append(
+                    encode_jpeg(
+                        w,
+                        h,
+                        rgb * (w * h),
+                        quality=75,
+                        subsample="444" if d % 2 == 0 else "420",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, px = decode_jpeg(bytes(p))
+                recs.append((int(doc_id), w, h, len(px), sum(px)))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "n_pixel_bytes", "pixel_sum"
+                ],
+            )
+
+    return media.mapInPandas(
+        dec,
+        schema=(
+            "doc_id long, width int, height int, "
+            "n_pixel_bytes long, pixel_sum long"
+        ),
+    )
+
+
 def _q_multimodal_audio_real(spark, sf_dir):
     """The REAL audio codec path under the oracle (fake=False), the
     WAV twin of multimodal_decode_real: deterministic 16-bit PCM —
@@ -1261,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
+        "multimodal_jpeg_real": _q_multimodal_jpeg_real,
         "multimodal_audio_real": _q_multimodal_audio_real,
         "multimodal_video_real": _q_multimodal_video_real,
         "multimodal_resize": _q_multimodal_resize,
@@ -2225,6 +2290,55 @@ def oracle_sql() -> dict[str, str]:
                            + ((n % 256) - 256 + a) * ((n % 256) - 256 + a - 1) // 2
                  END AS BIGINT) AS pixel_sum
         FROM dims
+    """
+
+    # JPEG twin: solid-color fixtures decode through the exact DC-only
+    # path, so the decoded color is closed-form (see
+    # kgt.textops.jpeg.solid_color_roundtrip): JFIF RGB→YCbCr with
+    # floor(x+0.5), per-channel DC quantization at the quality-75
+    # table heads (luma 16→8, chroma 17→9 under the libjpeg scaling),
+    # exact reconstruction floor(k·q/8 + 128.5), YCbCr→RGB floor+0.5.
+    # sign()·floor(abs()/q + 0.5) is half-away-from-zero, matching the
+    # codec's _quantize. Subsampling (4:4:4 vs 4:2:0 by doc parity)
+    # does not change a constant image, so one closed form covers both.
+    sqls["multimodal_jpeg_real"] = """
+        WITH cdims AS (
+          SELECT doc_id,
+                 CAST(length(text) % 29 + 1 AS INTEGER) AS width,
+                 CAST((length(text) * 5) % 23 + 1 AS INTEGER) AS height,
+                 CAST((doc_id * 37) % 256 AS DOUBLE) AS r,
+                 CAST((doc_id * 57) % 256 AS DOUBLE) AS g,
+                 CAST((doc_id * 77) % 256 AS DOUBLE) AS b
+          FROM documents
+        ),
+        ycc AS (
+          SELECT doc_id, width, height,
+                 least(255.0, greatest(0.0, floor(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+                 least(255.0, greatest(0.0, floor(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5))) AS cb,
+                 least(255.0, greatest(0.0, floor(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5))) AS cr
+          FROM cdims
+        ),
+        dcq AS (
+          SELECT doc_id, width, height,
+                 least(255.0, greatest(0.0, floor(
+                   sign(8.0*(y-128.0)) * floor(abs(8.0*(y-128.0))/8.0 + 0.5) * 8.0/8.0 + 128.5))) AS y2,
+                 least(255.0, greatest(0.0, floor(
+                   sign(8.0*(cb-128.0)) * floor(abs(8.0*(cb-128.0))/9.0 + 0.5) * 9.0/8.0 + 128.5))) AS cb2,
+                 least(255.0, greatest(0.0, floor(
+                   sign(8.0*(cr-128.0)) * floor(abs(8.0*(cr-128.0))/9.0 + 0.5) * 9.0/8.0 + 128.5))) AS cr2
+          FROM ycc
+        ),
+        rgb2 AS (
+          SELECT doc_id, width, height,
+                 least(255.0, greatest(0.0, floor(y2 + 1.402*(cr2-128.0) + 0.5))) AS r2,
+                 least(255.0, greatest(0.0, floor(y2 - 0.344136*(cb2-128.0) - 0.714136*(cr2-128.0) + 0.5))) AS g2,
+                 least(255.0, greatest(0.0, floor(y2 + 1.772*(cb2-128.0) + 0.5))) AS b2
+          FROM dcq
+        )
+        SELECT doc_id, width, height,
+               CAST(width * height * 3 AS BIGINT) AS n_pixel_bytes,
+               CAST(width * height * CAST(r2 + g2 + b2 AS BIGINT) AS BIGINT) AS pixel_sum
+        FROM rgb2
     """
 
     # WAV twin of the PNG oracle: same wraparound-sum CASE at modulus

@@ -17,11 +17,18 @@ two-tier:
   (header parameter list, FRAME markers, C420 plane sizes), so
   ``frame_sample(fake=False)`` genuinely walks and samples frames of
   the uncompressed interchange format.
-* everything else (JPEG, compressed audio/video containers) is STUBBED:
-  ``fake=False`` raises NotImplementedError naming the formats
-  supported, and ``fake=True`` emits a deterministic fake feature row
-  (byte length + md5 checksum + checksum-derived dimensions) so the
-  batch plumbing is oracle-checked end-to-end regardless of codecs.
+* baseline JPEG is REAL: a from-scratch huffman/DCT codec
+  (kgt/textops/jpeg.py — marker walk, canonical huffman with a cached
+  peek-16 LUT, batched numpy IDCT with an exact DC-only fast path,
+  4:2:0/4:2:2 upsampling, JFIF color convert), so ``fake=False``
+  genuinely decodes the compressed format a real training corpus's
+  images actually use.
+* everything else (MP3/AAC, MP4/MKV, WebP, progressive JPEG) is
+  STUBBED: ``fake=False`` raises NotImplementedError naming the
+  formats supported, and ``fake=True`` emits a deterministic fake
+  feature row (byte length + md5 checksum + checksum-derived
+  dimensions) so the batch plumbing is oracle-checked end-to-end
+  regardless of codecs.
 """
 
 from __future__ import annotations
@@ -351,12 +358,18 @@ def _decode_one(payload: bytes, fake: bool):
         if payload[:8] == _PNG_SIG:
             w, h, _ch, _px = decode_png(payload)
             return len(payload), hashlib.md5(payload).hexdigest(), w, h
-        # non-PNG real decode would use PIL / torchaudio / pyav here
+        if payload[:2] == b"\xff\xd8":
+            from kgt.textops.jpeg import decode_jpeg
+
+            w, h, _ch, _px = decode_jpeg(payload)
+            return len(payload), hashlib.md5(payload).hexdigest(), w, h
+        # other formats would use PIL / torchaudio / pyav here
         raise NotImplementedError(
-            "real media decode supports PNG (from-scratch stdlib "
-            "decoder); other formats need codec libraries not present "
-            "in this environment — pass fake=True for the "
-            "deterministic stub"
+            "real media decode supports PNG and baseline JPEG "
+            "(from-scratch stdlib decoders); other formats (MP3/AAC, "
+            "MP4/MKV, WebP, ...) need codec libraries not present in "
+            "this environment — pass fake=True for the deterministic "
+            "stub"
         )
     checksum = hashlib.md5(payload).hexdigest()
     # deterministic fake dimensions from the checksum

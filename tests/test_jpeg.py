@@ -1,0 +1,258 @@
+"""From-scratch baseline JPEG codec tests — the compressed third of
+the multimodal codec family (test_png.py / test_wav.py / test_y4m.py).
+
+Strategy: there is no libjpeg in this environment, so correctness is
+pinned four independent ways: (1) solid-color images decode to the
+arithmetic closed form (the oracle contract), (2) the decoder's IDCT
+agrees with a straight-line scipy-free reference DCT implemented here
+from the T.81 definition, via a hand-built single-block stream, (3)
+encoder→decoder round-trips stay within quantization error on smooth
+images (and byte stuffing occurs naturally at high quality), (4) the
+huffman tables are internally consistent and every encodable symbol
+has a code.
+"""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from kgt.textops.jpeg import (
+    AC_CHROMA_BITS,
+    AC_CHROMA_VALS,
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_CHROMA_BITS,
+    DC_CHROMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg,
+    scale_qtable,
+    solid_color_roundtrip,
+)
+
+
+def test_zigzag_is_the_spec_walk():
+    assert sorted(ZIGZAG) == list(range(64))
+    assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-3:] == [55, 62, 63]
+
+
+def test_huffman_tables_internally_consistent():
+    """Canonical code assignment must be prefix-free and cover every
+    symbol the encoder can emit (DC categories 0..11; AC (run,size)
+    with size 1..10 plus EOB and ZRL)."""
+    for bits, vals in [
+        (DC_LUMA_BITS, DC_LUMA_VALS),
+        (DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (AC_LUMA_BITS, AC_LUMA_VALS),
+        (AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]:
+        codes = _canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        seen = set()
+        for _sym, length, code in codes:
+            assert code < (1 << length)  # fits its length
+            padded = format(code, f"0{length}b")
+            for p in seen:
+                assert not padded.startswith(p) and not p.startswith(padded)
+            seen.add(padded)
+    ac_syms = {v for v in AC_LUMA_VALS}
+    for run in range(16):
+        for size in range(1, 11):
+            assert (run << 4) | size in ac_syms
+    assert 0x00 in ac_syms and 0xF0 in ac_syms
+    assert set(DC_LUMA_VALS) >= set(range(12))
+
+
+@pytest.mark.parametrize(
+    "rgb", [(0, 0, 0), (255, 255, 255), (200, 30, 90), (17, 123, 250)]
+)
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_solid_color_closed_form(rgb, subsample):
+    """Every pixel of a decoded solid-color JPEG must equal
+    solid_color_roundtrip(rgb) exactly — the DC-only fast path the
+    multimodal_jpeg_real oracle reproduces in SQL. Dims straddle the
+    8/16-pixel MCU boundary to exercise edge padding + crop."""
+    for w, h in [(16, 8), (13, 9), (1, 1), (17, 33)]:
+        p = encode_jpeg(w, h, bytes(rgb) * (w * h), quality=75, subsample=subsample)
+        gw, gh, ch, out = decode_jpeg(p)
+        assert (gw, gh, ch) == (w, h, 3)
+        arr = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+        expect = solid_color_roundtrip(rgb, 75)
+        assert set(map(tuple, arr.reshape(-1, 3))) == {expect}
+
+
+def _reference_idct(S):
+    """Straight-line T.81 IDCT definition — independent of the
+    codec's matrix/einsum implementation."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv / 4.0 * S[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = acc
+    return out
+
+
+def test_single_block_stream_matches_reference_idct():
+    """Hand-build a one-block grayscale JPEG with known quantized
+    coefficients (flat q=16 table, huffman-coded by the codec's own
+    writer), decode it, and pin against the straight-line spec IDCT."""
+    from kgt.textops.jpeg import _BitWriter, _enc_codes, _encode_block
+
+    coeffs_nat = np.zeros(64, dtype=np.int32)
+    coeffs_nat[0] = 5        # DC
+    coeffs_nat[1] = -3       # (0,1)
+    coeffs_nat[8] = 2        # (1,0)
+    coeffs_nat[27] = 7       # mid-band
+    coeffs_nat[63] = -1      # forces a long AC run to the last index
+    zz = coeffs_nat[ZIGZAG]
+
+    bw = _BitWriter()
+    _encode_block(
+        bw, zz, 0,
+        _enc_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _enc_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+    )
+    entropy = bw.flush()
+
+    q = 16
+    dqt = bytes([0]) + bytes([q] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    w, h, ch, out = decode_jpeg(payload)
+    assert (w, h, ch) == (8, 8, 1)
+    got = np.frombuffer(out, np.uint8).reshape(8, 8).astype(float)
+
+    S = np.zeros((8, 8))
+    for i in range(64):
+        S[i // 8, i % 8] = coeffs_nat[i] * q
+    expect = np.clip(np.floor(_reference_idct(S) + 128.5), 0, 255)
+    assert np.array_equal(got, expect)
+
+
+def test_roundtrip_smooth_within_quantization_error():
+    w, h = 40, 24
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.zeros((h, w, 3))
+    img[:, :, 0] = 128 + 80 * np.sin(xx / 9.0)
+    img[:, :, 1] = 128 + 60 * np.cos(yy / 7.0)
+    img[:, :, 2] = 128 + 50 * np.sin((xx + yy) / 11.0)
+    px = np.clip(img, 0, 255).astype(np.uint8)
+    for q, ss, tol in [(90, "444", 8), (75, "444", 14), (90, "420", 20)]:
+        p = encode_jpeg(w, h, px.tobytes(), quality=q, subsample=ss)
+        gw, gh, ch, out = decode_jpeg(p)
+        assert (gw, gh, ch) == (w, h, 3)
+        arr = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(float)
+        assert np.abs(arr - px.astype(float)).max() <= tol, (q, ss)
+
+
+def test_roundtrip_grayscale():
+    w, h = 24, 16
+    px = np.clip(
+        128 + 90 * np.sin(np.arange(w * h).reshape(h, w) / 13.0), 0, 255
+    ).astype(np.uint8)
+    p = encode_jpeg(w, h, px.tobytes(), n_channels=1, quality=90)
+    gw, gh, ch, out = decode_jpeg(p)
+    assert (gw, gh, ch) == (w, h, 1)
+    arr = np.frombuffer(out, np.uint8).reshape(h, w).astype(float)
+    assert np.abs(arr - px).max() <= 6
+
+
+def test_roundtrip_noise_exercises_byte_stuffing():
+    """Random noise at quality 95 produces dense AC runs and 0xFF
+    bytes in the entropy stream (stuffing) — decode must survive and
+    the stream must actually contain stuffed bytes."""
+    rng = np.random.RandomState(7)
+    w, h = 32, 16
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    p = encode_jpeg(w, h, px.tobytes(), quality=95)
+    scan_at = p.find(b"\xff\xda")
+    assert b"\xff\x00" in p[scan_at:], "expected byte stuffing in entropy data"
+    gw, gh, ch, _ = decode_jpeg(p)
+    assert (gw, gh, ch) == (w, h, 3)
+
+
+def test_bad_inputs_raise_valueerror():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + bytes(32))
+    p = encode_jpeg(8, 8, bytes(192), quality=75)
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:40])  # truncated mid-segment
+    with pytest.raises(ValueError, match="terminating marker"):
+        decode_jpeg(p[:-2])  # EOI cut off
+
+
+def test_progressive_rejected_with_capability_error():
+    p = bytearray(encode_jpeg(8, 8, bytes(192), quality=75))
+    i = p.find(b"\xff\xc0")
+    p[i + 1] = 0xC2  # rewrite SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(p))
+
+
+def test_restart_interval_rejected():
+    p = encode_jpeg(8, 8, bytes(192), quality=75)
+    i = p.find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(p[:i] + dri + p[i:])
+
+
+def test_quality_scaling_monotone_and_clamped():
+    q10 = scale_qtable([16] * 64, 10)
+    q50 = scale_qtable([16] * 64, 50)
+    q95 = scale_qtable([16] * 64, 95)
+    assert q10[0] > q50[0] > q95[0] >= 1
+    assert scale_qtable([255] * 64, 1)[0] == 255  # clamped high
+    assert scale_qtable([1] * 64, 100)[0] == 1  # clamped low
+    with pytest.raises(ValueError):
+        scale_qtable([16] * 64, 0)
+
+
+def test_decode_features_routes_jpeg(spark):
+    """multimodal.decode_features(fake=False) must recognize the JPEG
+    signature and emit the real decoded dims through the mapInPandas
+    plumbing."""
+    import pandas as pd
+
+    from kgt.textops.multimodal import decode_features
+
+    w, h = 11, 5
+    payload = encode_jpeg(w, h, bytes((10, 20, 30)) * (w * h), quality=75)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "payload": [payload], "media_type": ["image/jpeg"]}
+        )
+    )
+    row = decode_features(media, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
