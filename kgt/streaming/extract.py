@@ -247,3 +247,114 @@ def streaming_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+NEARDUP_STATE_SCHEMA = "doc_ids array<long>, saturated boolean"
+NEARDUP_SCHEMA = "band int, minhash string, doc_a long, doc_b long"
+
+
+def _near_dup_fn(ttl_seconds: int, bucket_cap: int):
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # bucket idle past the TTL: retire it. A near-dup arriving
+            # after the TTL pairs only with bucket-mates seen since —
+            # the at-most-TTL dedup horizon, same as streaming_dedup.
+            state.remove()
+            return
+        band, mh = key
+        if state.exists:
+            ids_raw, saturated = state.get
+            ids = list(ids_raw)
+        else:
+            ids, saturated = [], False
+        known = set(ids)
+        # drain ALL chunks before sorting (Arrow may split one bucket
+        # across chunks) so emission order/pairing is chunk-invariant
+        new_ids = sorted(
+            {int(d) for pdf in pdf_iter for d in pdf["doc_id"]} - known
+        )
+        rows = []
+        for nid in new_ids:
+            if saturated or len(ids) >= bucket_cap:
+                # degenerate bucket (boilerplate band-key): stop
+                # pairing AND stop growing state — the O(cap²) bound
+                # that keeps one hot bucket from going quadratic,
+                # mirroring simhash_near_pairs' bucket quarantine
+                saturated = True
+                break
+            for p in ids:
+                rows.append(
+                    (int(band), mh, min(p, nid), max(p, nid))
+                )
+            ids.append(nid)
+        state.update((ids, saturated))
+        state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame(
+            rows, columns=["band", "minhash", "doc_a", "doc_b"]
+        )
+
+    return fn
+
+
+def streaming_near_dup(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    ttl_seconds: int = 3600,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    rows_per_band: int = 4,
+    bucket_cap: int = 10000,
+    trigger_available_now: bool = True,
+):
+    """Streaming NEAR-dup — banded-MinHash LSH for a continuous
+    training-data feed, the stateful twin of the batch
+    ``minhash_signatures → lsh_candidate_pairs`` pipeline.
+
+    Stage 1 (stateless projection): banded signatures computed row-
+    wise (kgt.textops.dedup.banded_signatures_rowwise — bit-identical
+    to the batch signatures, agreement-tested), one (band, band-key)
+    row per band per doc.  Stage 2 (applyInPandasWithState keyed by
+    the bucket): state is the sorted doc_id list of bucket members; a
+    new member emits one candidate pair per existing member
+    (doc_a < doc_b), so the union of emissions over time equals the
+    batch self-join's pairs on the same corpus (pinned by test).
+
+    Bounds, because a stream runs forever: per-bucket state retires
+    after ``ttl_seconds`` idle (processing-time timeout — the dedup
+    horizon), and a bucket reaching ``bucket_cap`` members saturates:
+    it stops emitting and stops growing, turning the worst-case
+    boilerplate bucket from O(n²) emissions into O(cap²).
+
+    The same pair can emit from several agreeing bands (the batch path
+    dedupes with one global distinct, which a stream cannot do without
+    a second unbounded stateful stage) — downstream exact-verify is
+    idempotent, and consumers wanting unique pairs take
+    DISTINCT(doc_a, doc_b) over the sink.
+
+    Returns the started StreamingQuery (parquet sink, append mode).
+    """
+    from kgt.textops.dedup import banded_signatures_rowwise
+
+    sigs = banded_signatures_rowwise(
+        stream_df,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        rows_per_band=rows_per_band,
+    )
+    out = sigs.groupBy("band", "minhash").applyInPandasWithState(
+        _near_dup_fn(ttl_seconds, bucket_cap),
+        outputStructType=NEARDUP_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", f"{out_dir}/stream_near_dup")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

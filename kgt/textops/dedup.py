@@ -54,21 +54,29 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles of the normalized text.
-
-    Documents shorter than k words produce a single whole-text shingle so
-    they still participate.
-    """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+def _shingle_array(text_col, k: int):
+    """Array of k-word shingles of the normalized text (single whole-
+    text shingle for shorter docs) — the one shingling expression,
+    shared by the exploded batch path and the row-wise streaming
+    signature so the two can never drift."""
+    words = F.split(normalize_text(text_col), " ")
     n = F.size(words)
-    sh = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles of the normalized text.
+
+    Documents shorter than k words produce a single whole-text shingle so
+    they still participate.
+    """
+    sh = _shingle_array(F.col(text_col), k)
     # dedupe WITHIN the doc array before exploding: (doc_id, shingle)
     # distinctness is per-document, so array_distinct gives the same
     # rows as explode + .distinct() WITHOUT the full shuffle the
@@ -167,6 +175,68 @@ def minhash_signatures(
         for b in range(n_bands)
     ]
     return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "minhash"),
+    )
+
+
+def banded_signatures_rowwise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_id, band, minhash) — bit-identical to
+    ``minhash_signatures(shingles(docs))`` but computed as a PURE
+    PROJECTION: the shingle set stays an array column and every min
+    runs over it with array_min, so there is no explode, no groupBy
+    and no shuffle.  This is the streaming-legal form (stateless
+    narrow op) that streaming_near_dup feeds into its stateful bucket
+    stage; an agreement test pins the two paths row-for-row.
+
+    Same seeding as the batch path: 4 independent 32-bit hex lanes per
+    md5('s<g>:' || shingle); lexicographic min over fixed-width hex ≡
+    numeric min.
+    """
+    if n_hashes % rows_per_band:
+        raise ValueError("n_hashes must be a multiple of rows_per_band")
+    n_bands = n_hashes // rows_per_band
+    n_groups = (n_hashes + 3) // 4
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_shingle_array(F.col(text_col), k)).alias("sh"),
+    )
+    # materialize one md5 array per 4-lane group so each shingle is
+    # hashed ceil(n/4) times, exactly like the batch aggregate.
+    # NB: the transform lambdas must be UNARY — pyspark treats a
+    # two-parameter callable as the (element, index) form, so the
+    # default-arg capture idiom silently binds the index column.
+    def _md(g):
+        return lambda s: F.md5(F.concat(F.lit(f"s{g}:"), s))
+
+    def _lane(i):
+        return lambda m: F.substring(m, 1 + 8 * (i % 4), 8)
+
+    md_cols = [
+        F.transform(F.col("sh"), _md(g)).alias(f"md{g}")
+        for g in range(n_groups)
+    ]
+    staged = base.select("doc_id", *md_cols)
+    h = [
+        F.array_min(F.transform(F.col(f"md{i // 4}"), _lane(i)))
+        for i in range(n_hashes)
+    ]
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[h[b * rows_per_band + j] for j in range(rows_per_band)]
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return staged.select(
         "doc_id",
         F.posexplode(F.array(*band_keys)).alias("band", "minhash"),
     )

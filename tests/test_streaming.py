@@ -215,3 +215,136 @@ def test_streaming_dedup(spark, tmp_path):
     )
     _drain(spark, q2, f"{out}/stream_dedup", 6)
     assert spark.read.parquet(f"{out}/stream_dedup").count() == 6
+
+
+def test_banded_signatures_rowwise_agrees_with_batch(spark):
+    """The streaming-legal projection form must produce the exact
+    (doc_id, band, minhash) rows of the batch aggregate — the property
+    that makes streaming LSH buckets comparable to batch buckets."""
+    from kgt.textops.dedup import (
+        banded_signatures_rowwise,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content with other words entirely"),
+        (4, "short doc"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r["doc_id"], r["band"], r["minhash"])
+        for r in minhash_signatures(
+            shingles(docs), n_hashes=32, rows_per_band=4
+        ).collect()
+    }
+    rowwise = {
+        (r["doc_id"], r["band"], r["minhash"])
+        for r in banded_signatures_rowwise(
+            docs, n_hashes=32, rows_per_band=4
+        ).collect()
+    }
+    assert rowwise == batch and len(batch) == 5 * 8
+
+
+def test_streaming_near_dup_agrees_with_batch_lsh(spark, tmp_path):
+    """Cross-validation ask from the round-4 verdict: the streaming
+    operator's distinct (doc_a, doc_b) over an availableNow run must
+    equal batch lsh_candidate_pairs on the same corpus — INCLUDING
+    pairs whose members arrive in different micro-batches (two source
+    files, maxFilesPerTrigger=1, near-dup split across them)."""
+    from kgt.streaming.extract import streaming_near_dup
+    from kgt.textops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    batch1 = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "the quick brown fox jumps over the lazy dog every day"),
+        (3, "completely unrelated text about distributed query engines"),
+    ]
+    batch2 = [
+        (4, "the quick brown fox jumps over the lazy dog every day"),
+        (5, "completely unrelated text about distributed query engines"),
+        (6, "a third topic entirely unlike the other two documents here"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    docs = spark.read.parquet(src)
+    expect = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingles(docs), n_hashes=32, rows_per_band=4)
+        ).collect()
+    }
+    assert (1, 2) in expect and (1, 4) in expect and (3, 5) in expect
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_near_dup(stream, out, ckpt, ttl_seconds=300)
+    # sink rows >= distinct pairs (multi-band duplicates) — drain on
+    # the distinct count instead
+    import time
+
+    t0 = time.time()
+    got = set()
+    while time.time() - t0 < 120:
+        try:
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in spark.read.parquet(f"{out}/stream_near_dup").collect()
+            }
+            if got >= expect:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    assert got == expect
+
+
+def test_streaming_near_dup_bucket_cap_saturates(spark, tmp_path):
+    """A degenerate bucket (many identical docs) must stop emitting at
+    the cap: emissions are bounded by C(cap, 2) pairs per band, and
+    state stops growing — the guard that keeps one boilerplate bucket
+    from going quadratic on an infinite stream."""
+    from kgt.streaming.extract import streaming_near_dup
+
+    rows = [(i, "same exact degenerate boilerplate text") for i in range(12)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_near_dup(stream, out, ckpt, ttl_seconds=300, bucket_cap=4)
+    # 8 bands × C(4,2)=6 pairs = 48 rows max; drain to the bound
+    _drain(spark, q, f"{out}/stream_near_dup", 48)
+    df = spark.read.parquet(f"{out}/stream_near_dup")
+    per_band = {
+        r["band"]: r["n"]
+        for r in df.groupBy("band").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 6 for n in per_band.values())  # C(4,2), then saturated
+    # only the 4 sub-cap members ever appear
+    members = {
+        r["doc_a"] for r in df.collect()
+    } | {r["doc_b"] for r in df.collect()}
+    assert members == {0, 1, 2, 3}
