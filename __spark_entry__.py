@@ -1,8 +1,9 @@
 """Driver contract for the kgt engine.
 
 ``queries()`` exposes the engine's operators over the driver's parquet
-tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible operator (the rest get rows-only checks).
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY
+query — since round 4 there are no rows-only entries: each of the
+driver queries carries a full rows+schema+hash gate.
 
 The kg_* family is the flagship: Turtle documents are DERIVED
 deterministically from the orders/customer tables, split across

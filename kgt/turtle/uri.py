@@ -96,9 +96,19 @@ def is_absolute(iri: str) -> bool:
 
 
 def resolve(base: str, ref: str) -> str:
-    """Resolve ``ref`` against ``base`` per RFC 3986 §5.2.2 (strict)."""
+    """Resolve ``ref`` against ``base`` per RFC 3986 §5.2.2 (strict),
+    with one documented reference-parity deviation: an EMPTY relative
+    reference returns the base verbatim, INCLUDING its fragment.
+    Strict §5.2.2 drops the fragment (T.fragment = R.fragment,
+    undefined), but RDF.rb's URI#join keeps it and the reference's own
+    spec pins ``@base <http://foo/bar#> . <> <a> <b>`` resolving to
+    ``<http://foo/bar#>`` (reader_spec.rb "absolute base (trailing
+    #)"); the two conventions differ only when the base carries a
+    fragment."""
     if not base:
         return ref
+    if not ref:
+        return base
     r_scheme, r_auth, r_path, r_query, r_frag = split_iri(ref)
     if r_scheme is not None:
         return unsplit(
