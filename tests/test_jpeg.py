@@ -220,12 +220,13 @@ def test_progressive_rejected_with_capability_error():
         decode_jpeg(bytes(p))
 
 
-def test_restart_interval_rejected():
+def test_dri_zero_interval_is_a_noop():
+    """DRI with interval 0 (explicitly 'no restarts') must decode
+    exactly like a stream without the segment."""
     p = encode_jpeg(8, 8, bytes(192), quality=75)
     i = p.find(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(p[:i] + dri + p[i:])
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 0)
+    assert decode_jpeg(p[:i] + dri + p[i:]) == decode_jpeg(p)
 
 
 def test_quality_scaling_monotone_and_clamped():
@@ -256,3 +257,82 @@ def test_decode_features_routes_jpeg(spark):
     )
     row = decode_features(media, fake=False).collect()[0]
     assert (row["width"], row["height"]) == (w, h)
+
+
+def test_restart_interval_roundtrip_identical_to_plain():
+    """DRI/RSTn streams: same image encoded with and without restarts
+    must decode to IDENTICAL pixels (restarts change framing, not
+    values), the stream must actually contain cycling RST markers, and
+    DC predictor reset must be exercised across segment boundaries."""
+    w, h = 48, 24  # 6x3 = 18 MCUs at 4:4:4
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.zeros((h, w, 3))
+    img[:, :, 0] = 100 + 90 * np.sin(xx / 5.0)
+    img[:, :, 1] = 120 + 70 * np.cos(yy / 3.0)
+    img[:, :, 2] = (xx * 4 + yy * 2) % 256
+    px = np.clip(img, 0, 255).astype(np.uint8).tobytes()
+    plain = decode_jpeg(encode_jpeg(w, h, px, quality=80))
+    p_rst = encode_jpeg(w, h, px, quality=80, restart_interval=2)
+    scan_at = p_rst.find(b"\xff\xda")
+    # 18 MCUs / interval 2 → 8 RST markers cycling RST0..RST7
+    for n in range(8):
+        assert bytes([0xFF, 0xD0 + n]) in p_rst[scan_at:]
+    assert decode_jpeg(p_rst) == plain
+    # 4:2:0 too (MCU = 16x16 → 6 MCUs, 2 RSTs)
+    plain420 = decode_jpeg(encode_jpeg(w, h, px, quality=80, subsample="420"))
+    p420 = encode_jpeg(w, h, px, quality=80, subsample="420", restart_interval=2)
+    assert decode_jpeg(p420) == plain420
+
+
+def test_restart_marker_sequence_validated():
+    w, h = 48, 8
+    px = (bytes(range(256)) * (w * h * 3 // 256 + 1))[: w * h * 3]
+    p = bytearray(encode_jpeg(w, h, px, quality=80, restart_interval=2))
+    i = p.find(b"\xff\xd0")  # first RST0 → corrupt to RST5
+    assert i > 0
+    p[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(p))
+
+
+def test_rst_without_dri_rejected():
+    w, h = 48, 8
+    px = bytes(w * h * 3)
+    p = encode_jpeg(w, h, px, quality=80, restart_interval=2)
+    i = p.find(b"\xff\xdd")  # strip the DRI segment (6 bytes)
+    stripped = p[:i] + p[i + 6 :]
+    with pytest.raises(ValueError, match="no restart interval"):
+        decode_jpeg(stripped)
+
+
+def test_solid_color_closed_form_with_restarts():
+    """The oracle closed form must hold under restart framing too."""
+    rgb = (77, 140, 201)
+    w, h = 32, 16
+    p = encode_jpeg(w, h, bytes(rgb) * (w * h), quality=75, restart_interval=3)
+    gw, gh, ch, out = decode_jpeg(p)
+    arr = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    assert set(map(tuple, arr.reshape(-1, 3))) == {solid_color_roundtrip(rgb, 75)}
+
+
+def test_roundtrip_422_sampling():
+    """4:2:2 (2x1 luma factors): horizontal-only chroma subsampling —
+    the decoder's (hmax, vmax) == (2, 1) MCU path."""
+    w, h = 40, 24
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.zeros((h, w, 3))
+    img[:, :, 0] = 128 + 80 * np.sin(xx / 9.0)
+    img[:, :, 1] = 128 + 60 * np.cos(yy / 7.0)
+    img[:, :, 2] = 128 + 50 * np.sin((xx + yy) / 11.0)
+    px = np.clip(img, 0, 255).astype(np.uint8)
+    p = encode_jpeg(w, h, px.tobytes(), quality=90, subsample="422")
+    gw, gh, ch, out = decode_jpeg(p)
+    assert (gw, gh, ch) == (w, h, 3)
+    arr = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(float)
+    assert np.abs(arr - px.astype(float)).max() <= 16
+    # and a solid color still hits the exact closed form
+    rgb = (90, 180, 40)
+    p2 = encode_jpeg(16, 8, bytes(rgb) * 128, quality=75, subsample="422")
+    _, _, _, out2 = decode_jpeg(p2)
+    arr2 = np.frombuffer(out2, np.uint8).reshape(8, 16, 3)
+    assert set(map(tuple, arr2.reshape(-1, 3))) == {solid_color_roundtrip(rgb, 75)}
