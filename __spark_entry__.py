@@ -1257,6 +1257,52 @@ def _q_multimodal_resize(spark, sf_dir):
     return resize(to_media(_read(spark, sf_dir, "documents")), max_side=256, fake=True)
 
 
+def _q_multimodal_resize_real(spark, sf_dir):
+    """REAL resize across codecs under the oracle: per doc a
+    solid-color baseline JPEG (color/dims from doc_id and text length,
+    always above the max_side cap) is decoded by the from-scratch JPEG
+    codec, nearest-neighbor-resampled (numpy fancy-indexing, integer
+    ⌊i·src/dst⌋ mapping), re-encoded as PNG (lossless container), and
+    decoded again — four codec passes per row.  The oracle reproduces
+    the resized dims with the same integer arithmetic and the pixel
+    sum via the JPEG solid-color closed form (constant images are
+    invariant under nearest-neighbor), so a broken resample grid, a
+    codec mismatch, or a color drift all hash-fail."""
+    import pandas as pd
+
+    from kgt.textops.jpeg import encode_jpeg
+    from kgt.textops.multimodal import decode_png, resize_pixels
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                w, h = L % 23 + 17, (L * 3) % 19 + 17  # 17..39 ≥ max_side+1
+                rgb = bytes(((d * 41) % 256, (d * 61) % 256, (d * 83) % 256))
+                payload = encode_jpeg(w, h, rgb * (w * h), quality=75)
+                rw, rh, ch, px = decode_png(resize_pixels(payload, max_side=16))
+                recs.append((d, rw, rh, len(px), sum(px)))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "n_pixel_bytes", "pixel_sum"
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, "
+            "n_pixel_bytes long, pixel_sum long"
+        ),
+    )
+
+
 def _q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing (mapInPandas, 1→n fan-out); stubbed
     decoder, deterministic fake frames oracle-checked."""
@@ -1330,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_real": _q_multimodal_audio_real,
         "multimodal_video_real": _q_multimodal_video_real,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_resize_real": _q_multimodal_resize_real,
         "multimodal_frames": _q_multimodal_frames,
     }
 
@@ -2318,6 +2365,57 @@ def oracle_sql() -> dict[str, str]:
                  least(255.0, greatest(0.0, floor(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5))) AS cb,
                  least(255.0, greatest(0.0, floor(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5))) AS cr
           FROM cdims
+        ),
+        dcq AS (
+          SELECT doc_id, width, height,
+                 least(255.0, greatest(0.0, floor(
+                   sign(8.0*(y-128.0)) * floor(abs(8.0*(y-128.0))/8.0 + 0.5) * 8.0/8.0 + 128.5))) AS y2,
+                 least(255.0, greatest(0.0, floor(
+                   sign(8.0*(cb-128.0)) * floor(abs(8.0*(cb-128.0))/9.0 + 0.5) * 9.0/8.0 + 128.5))) AS cb2,
+                 least(255.0, greatest(0.0, floor(
+                   sign(8.0*(cr-128.0)) * floor(abs(8.0*(cr-128.0))/9.0 + 0.5) * 9.0/8.0 + 128.5))) AS cr2
+          FROM ycc
+        ),
+        rgb2 AS (
+          SELECT doc_id, width, height,
+                 least(255.0, greatest(0.0, floor(y2 + 1.402*(cr2-128.0) + 0.5))) AS r2,
+                 least(255.0, greatest(0.0, floor(y2 - 0.344136*(cb2-128.0) - 0.714136*(cr2-128.0) + 0.5))) AS g2,
+                 least(255.0, greatest(0.0, floor(y2 + 1.772*(cb2-128.0) + 0.5))) AS b2
+          FROM dcq
+        )
+        SELECT doc_id, width, height,
+               CAST(width * height * 3 AS BIGINT) AS n_pixel_bytes,
+               CAST(width * height * CAST(r2 + g2 + b2 AS BIGINT) AS BIGINT) AS pixel_sum
+        FROM rgb2
+    """
+
+    # resize_real: JPEG solid-color closed form (multipliers 41/61/83,
+    # same quality-75 DC chain as multimodal_jpeg_real) + the integer
+    # nearest-neighbor dims max(1, side·16 // longest); a constant
+    # image is invariant under nearest-neighbor, so the resized pixel
+    # sum is rw·rh·(r2+g2+b2)
+    sqls["multimodal_resize_real"] = """
+        WITH cdims AS (
+          SELECT doc_id,
+                 CAST(length(text) % 23 + 17 AS INTEGER) AS w,
+                 CAST((length(text) * 3) % 19 + 17 AS INTEGER) AS h,
+                 CAST((doc_id * 41) % 256 AS DOUBLE) AS r,
+                 CAST((doc_id * 61) % 256 AS DOUBLE) AS g,
+                 CAST((doc_id * 83) % 256 AS DOUBLE) AS b
+          FROM documents
+        ),
+        rdims AS (
+          SELECT doc_id, r, g, b,
+                 CAST(greatest(1, (w * 16) // greatest(w, h)) AS INTEGER) AS width,
+                 CAST(greatest(1, (h * 16) // greatest(w, h)) AS INTEGER) AS height
+          FROM cdims
+        ),
+        ycc AS (
+          SELECT doc_id, width, height,
+                 least(255.0, greatest(0.0, floor(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+                 least(255.0, greatest(0.0, floor(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5))) AS cb,
+                 least(255.0, greatest(0.0, floor(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5))) AS cr
+          FROM rdims
         ),
         dcq AS (
           SELECT doc_id, width, height,

@@ -458,29 +458,32 @@ RESIZE_SCHEMA = (
 
 
 def resize_pixels(payload: bytes, max_side: int) -> bytes:
-    """REAL resize for PNG payloads: stdlib decode → nearest-neighbor
-    resample (longest-side cap, same integer formula as :func:`resize`)
-    → stdlib re-encode. Color type is preserved for RGB/RGBA/gray.
-    Nearest-neighbor index i maps to source ⌊i·src/dst⌋ — the standard
-    box-free resample, chosen because it is exactly reproducible with
-    integer arithmetic in tests."""
-    w, h, ch, px = decode_png(payload)
+    """REAL resize for PNG and baseline-JPEG payloads: decode →
+    nearest-neighbor resample (longest-side cap, same integer formula
+    as :func:`resize`, numpy fancy-indexed — no per-pixel Python) →
+    PNG re-encode. Nearest-neighbor index i maps to source
+    ⌊i·src/dst⌋ — exactly reproducible with integer arithmetic.
+
+    Output is always PNG: re-encoding a resized JPEG as JPEG would add
+    a second lossy quantization pass, so the lossless container keeps
+    the resample deterministic and testable."""
+    if payload[:2] == b"\xff\xd8":
+        from kgt.textops.jpeg import decode_jpeg
+
+        w, h, ch, px = decode_jpeg(payload)
+    else:
+        w, h, ch, px = decode_png(payload)
     longest = max(w, h)
     if longest <= max_side:
         return payload
     rw = max(1, w * max_side // longest)
     rh = max(1, h * max_side // longest)
-    rows = []
-    for y in range(rh):
-        sy = y * h // rh
-        row = bytearray()
-        for x in range(rw):
-            sx = x * w // rw
-            o = (sy * w + sx) * ch
-            row += px[o : o + ch]
-        rows.append(bytes(row))
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(rh) * h) // rh
+    xs = (np.arange(rw) * w) // rw
+    out = arr[ys][:, xs]
     ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
-    return encode_png(rw, rh, b"".join(rows), color_type=ctype)
+    return encode_png(rw, rh, out.tobytes(), color_type=ctype)
 
 
 def resize(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:

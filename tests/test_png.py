@@ -231,3 +231,23 @@ def test_unfilter_vectorized_matches_scalar_reference():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(payload) == (w, h, ch, px)
+
+
+def test_resize_pixels_jpeg_input():
+    """resize_pixels accepts baseline-JPEG payloads: decode, integer
+    nearest-neighbor, PNG out (lossless container — a JPEG re-encode
+    would double-quantize)."""
+    from kgt.textops.jpeg import encode_jpeg
+
+    w, h = 16, 8
+    rgb = (120, 60, 200)
+    p = resize_pixels(encode_jpeg(w, h, bytes(rgb) * (w * h), quality=75), max_side=8)
+    gw, gh, gch, gpx = decode_png(p)
+    assert (gw, gh, gch) == (8, 4, 3)
+    # solid color survives decode+resample exactly (closed-form color)
+    from kgt.textops.jpeg import solid_color_roundtrip
+
+    expect = solid_color_roundtrip(rgb, 75)
+    assert set(
+        tuple(gpx[i : i + 3]) for i in range(0, len(gpx), 3)
+    ) == {expect}

@@ -736,3 +736,4 @@ class TestStreamMode:
             prefixes={"ex": EX},
         )
         assert "ex:b ex:c ex:d;\n ex:e ex:f .\n" in out
+
