@@ -1303,6 +1303,130 @@ def _q_multimodal_resize_real(spark, sf_dir):
     )
 
 
+def _q_multimodal_mp3_meta(spark, sf_dir):
+    """REAL MP3 container parsing under the oracle (frame walker,
+    kgt/textops/mp3.py — ID3v2 sync-safe skip, MPEG-1 Layer III
+    header tables, frame-length arithmetic): per doc a deterministic
+    CBR stream (frame count / bitrate / rate / channels / ID3 size all
+    functions of doc_id and text length) is synthesized and walked.
+    The oracle recomputes every field arithmetically — including
+    duration from the per-frame sample count and the 10+syncsafe ID3
+    size — so a wrong table entry, a broken frame-length formula, or a
+    mis-skipped tag all hash-fail.  (PCM synthesis stays an env-gated
+    stub; framing/metadata IS the curation-pipeline surface.)"""
+    import pandas as pd
+
+    from kgt.textops.mp3 import encode_mp3_frames, parse_mp3
+
+    _BR = [32, 64, 96, 128, 160, 192, 256, 320]
+    _SR = [44100, 48000, 32000]
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                payload = encode_mp3_frames(
+                    n_frames=L % 20 + 1,
+                    bitrate_kbps=_BR[d % 8],
+                    sample_rate=_SR[d % 3],
+                    channels=1 + (d % 2),
+                    id3_payload=b"m" * (d % 100),
+                )
+                m = parse_mp3(payload)
+                recs.append(
+                    (
+                        d, m["n_frames"], m["sample_rate"], m["channels"],
+                        m["duration_ms"], m["bitrate_kbps"], m["id3v2_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate", "channels",
+                    "duration_ms", "bitrate_kbps", "id3v2_bytes",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_frames int, sample_rate int, channels int, "
+            "duration_ms long, bitrate_kbps int, id3v2_bytes long"
+        ),
+    )
+
+
+def _q_multimodal_mp4_meta(spark, sf_dir):
+    """REAL MP4/ISO-BMFF box parsing under the oracle (box-tree
+    walker, kgt/textops/mp4.py — sized box walk, full-box versions,
+    16.16 fixed-point track dims, handler/codec extraction): per doc a
+    deterministic two-track file (video avc1 + audio mp4a; dims,
+    durations and mvhd version functions of doc_id) is muxed and
+    parsed.  The oracle recomputes the flattened metadata row, so a
+    wrong box offset (e.g. the tkhd matrix skip), a version-1 64-bit
+    misread, or a bad fixed-point shift all hash-fail."""
+    import pandas as pd
+
+    from kgt.textops.mp4 import encode_mp4, parse_mp4
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                w, h = (d * 16) % 1920 + 2, (d * 9) % 1080 + 2
+                dur = (d * 13) % 5000 + 1000
+                tracks = [
+                    dict(
+                        track_id=1, handler="vide", width=w, height=h,
+                        media_timescale=30000, media_duration=dur * 30,
+                        codec="avc1",
+                    ),
+                    dict(
+                        track_id=2, handler="soun", width=0, height=0,
+                        media_timescale=48000, media_duration=dur * 48,
+                        codec="mp4a",
+                    ),
+                ]
+                m = parse_mp4(
+                    encode_mp4(1000, dur, tracks, mvhd_version=d % 2)
+                )
+                v, a = m["tracks"][0], m["tracks"][1]
+                recs.append(
+                    (
+                        d, m["major_brand"], m["duration_ms"], m["n_tracks"],
+                        int(v["width"]), int(v["height"]), v["codec"],
+                        a["codec"], a["media_timescale"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "major_brand", "duration_ms", "n_tracks",
+                    "video_w", "video_h", "video_codec", "audio_codec",
+                    "audio_rate",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, major_brand string, duration_ms long, "
+            "n_tracks int, video_w int, video_h int, video_codec string, "
+            "audio_codec string, audio_rate int"
+        ),
+    )
+
+
 def _q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing (mapInPandas, 1→n fan-out); stubbed
     decoder, deterministic fake frames oracle-checked."""
@@ -1377,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_real": _q_multimodal_video_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_resize_real": _q_multimodal_resize_real,
+        "multimodal_mp3_meta": _q_multimodal_mp3_meta,
+        "multimodal_mp4_meta": _q_multimodal_mp4_meta,
         "multimodal_frames": _q_multimodal_frames,
     }
 
@@ -2438,6 +2564,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(width * height * 3 AS BIGINT) AS n_pixel_bytes,
                CAST(width * height * CAST(r2 + g2 + b2 AS BIGINT) AS BIGINT) AS pixel_sum
         FROM rgb2
+    """
+
+    # MP3 frame-walker oracle: every field recomputed arithmetically.
+    # duration: MPEG-1 Layer III = 1152 samples/frame; at 48000/32000
+    # the ms value is exact (24n/36n) and at 44100 it is never an
+    # exact .5, so floor(x+0.5) ≡ Python round here. ID3 size is
+    # 10 + payload only when a payload exists.
+    sqls["multimodal_mp3_meta"] = """
+        SELECT doc_id,
+               CAST(length(text) % 20 + 1 AS INTEGER) AS n_frames,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS INTEGER) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+               CAST(floor(1000.0 * (length(text) % 20 + 1) * 1152 /
+                    (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END) + 0.5) AS BIGINT) AS duration_ms,
+               CAST(CASE doc_id % 8 WHEN 0 THEN 32 WHEN 1 THEN 64
+                    WHEN 2 THEN 96 WHEN 3 THEN 128 WHEN 4 THEN 160
+                    WHEN 5 THEN 192 WHEN 6 THEN 256 ELSE 320
+                    END AS INTEGER) AS bitrate_kbps,
+               CAST(CASE WHEN doc_id % 100 = 0 THEN 0
+                    ELSE 10 + doc_id % 100 END AS BIGINT) AS id3v2_bytes
+        FROM documents
+    """
+
+    # MP4 box-walker oracle: timescale 1000 makes duration_ms exact;
+    # dims survive the 16.16 round trip exactly (integers << 16)
+    sqls["multimodal_mp4_meta"] = """
+        SELECT doc_id,
+               'isom' AS major_brand,
+               CAST((doc_id * 13) % 5000 + 1000 AS BIGINT) AS duration_ms,
+               CAST(2 AS INTEGER) AS n_tracks,
+               CAST((doc_id * 16) % 1920 + 2 AS INTEGER) AS video_w,
+               CAST((doc_id * 9) % 1080 + 2 AS INTEGER) AS video_h,
+               'avc1' AS video_codec,
+               'mp4a' AS audio_codec,
+               CAST(48000 AS INTEGER) AS audio_rate
+        FROM documents
     """
 
     # WAV twin of the PNG oracle: same wraparound-sum CASE at modulus
