@@ -230,6 +230,35 @@ def main():
         _best = _dt if _best is None else min(_best, _dt)
     extra["png_decode_mpx_per_sec"] = round(_w * _h / _best / 1e6, 3)
 
+    # JPEG decode rate (single core): deterministic smooth 256×256 RGB
+    # at quality 85 — dense-enough AC to exercise the huffman scan.
+    from kgt.textops.jpeg import decode_jpeg, encode_jpeg
+
+    import numpy as _np
+
+    _jx, _jy = _np.meshgrid(_np.arange(256), _np.arange(256))
+    _jimg = _np.clip(
+        _np.stack(
+            [
+                128 + 100 * _np.sin(_jx / 7.0) * _np.cos(_jy / 5.0),
+                128 + 90 * _np.cos(_jx / 11.0),
+                (_jx + _jy) % 256,
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(_np.uint8)
+    _jp = encode_jpeg(256, 256, _jimg.tobytes(), quality=85, subsample="420")
+    decode_jpeg(_jp)  # warm the huffman LUT cache
+    _best = None
+    for _ in range(3):
+        _t0 = time.perf_counter()
+        decode_jpeg(_jp)
+        _dt = time.perf_counter() - _t0
+        _best = _dt if _best is None else min(_best, _dt)
+    extra["jpeg_decode_mpx_per_sec"] = round(256 * 256 / _best / 1e6, 3)
+
     # turns/sec: the north-rule throughput metric over the parse path
     from kgt.spark.parse import extract_triples
     from kgt.spark.transcripts import orders_transcripts
