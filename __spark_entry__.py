@@ -1303,6 +1303,68 @@ def _q_multimodal_resize_real(spark, sf_dir):
     )
 
 
+def _q_multimodal_gif_real(spark, sf_dir):
+    """REAL GIF decode under the oracle (from-scratch LZW +
+    compositor, kgt/textops/gif.py): per doc a deterministic animated
+    paletted GIF (palette size, dims, frame count and per-frame index
+    pattern all functions of doc_id and text length; per-frame GCE
+    delays (f+1)·2 cs) is encoded with the real LZW compressor and
+    decoded back.  GIF is lossless, so the decoded RGB pixel sum has
+    an exact closed form — Σ_frames Σ_colors count·rgbsum with
+    count = ⌊wh/C⌋ + cycle remainder — which the oracle reproduces;
+    a broken LZW width transition, palette indexing bug, or GCE
+    mis-parse hash-fails."""
+    import pandas as pd
+
+    from kgt.textops.gif import decode_gif, encode_gif
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                C = [8, 16, 32][d % 3]
+                w, h = L % 21 + 4, (L * 7) % 17 + 4
+                nf = d % 3 + 1
+                pal = [
+                    ((c * 7) % 256, (c * 11) % 256, (c * 13) % 256)
+                    for c in range(C)
+                ]
+                frames = [
+                    bytes((d + f + i) % C for i in range(w * h))
+                    for f in range(nf)
+                ]
+                delays = [(f + 1) * 2 for f in range(nf)]
+                payload = encode_gif(w, h, frames, pal, delays=delays)
+                gw, gh, out_frames, out_delays = decode_gif(payload)
+                recs.append(
+                    (
+                        d, gw, gh, len(out_frames),
+                        sum(sum(fr) for fr in out_frames),
+                        sum(out_delays),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "pixel_sum", "delay_total_cs",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_frames int, "
+            "pixel_sum long, delay_total_cs long"
+        ),
+    )
+
+
 def _q_multimodal_mp3_meta(spark, sf_dir):
     """REAL MP3 container parsing under the oracle (frame walker,
     kgt/textops/mp3.py — ID3v2 sync-safe skip, MPEG-1 Layer III
@@ -1501,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_real": _q_multimodal_video_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_resize_real": _q_multimodal_resize_real,
+        "multimodal_gif_real": _q_multimodal_gif_real,
         "multimodal_mp3_meta": _q_multimodal_mp3_meta,
         "multimodal_mp4_meta": _q_multimodal_mp4_meta,
         "multimodal_frames": _q_multimodal_frames,
@@ -2564,6 +2627,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(width * height * 3 AS BIGINT) AS n_pixel_bytes,
                CAST(width * height * CAST(r2 + g2 + b2 AS BIGINT) AS BIGINT) AS pixel_sum
         FROM rgb2
+    """
+
+    # GIF oracle: lossless codec → exact closed form. Per (frame,
+    # color): count of pixels with (doc_id+f+i) % C == c over i<w·h is
+    # wh//C plus 1 when the color falls in the cycle remainder;
+    # pixel_sum = Σ count · ((c·7)%256 + (c·11)%256 + (c·13)%256).
+    # Delays (f+1)·2 cs sum to nf·(nf+1).
+    sqls["multimodal_gif_real"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(length(text) % 21 + 4 AS INTEGER) AS w,
+                 CAST((length(text) * 7) % 17 + 4 AS INTEGER) AS h,
+                 CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+                      ELSE 32 END AS INTEGER) AS C,
+                 CAST(doc_id % 3 + 1 AS INTEGER) AS nf
+          FROM documents
+        ),
+        x AS (
+          SELECT d.doc_id, d.w, d.h, d.nf,
+                 (d.w * d.h) // d.C
+                 + CASE WHEN ((c.c - (d.doc_id + f.f)) % d.C + d.C) % d.C
+                        < (d.w * d.h) % d.C THEN 1 ELSE 0 END AS cnt,
+                 (c.c * 7) % 256 + (c.c * 11) % 256 + (c.c * 13) % 256 AS rgbsum
+          FROM d
+          CROSS JOIN generate_series(0, 2) f(f)
+          CROSS JOIN generate_series(0, 31) c(c)
+          WHERE f.f < d.nf AND c.c < d.C
+        )
+        SELECT doc_id,
+               CAST(max(w) AS INTEGER) AS width,
+               CAST(max(h) AS INTEGER) AS height,
+               CAST(max(nf) AS INTEGER) AS n_frames,
+               CAST(SUM(cnt * rgbsum) AS BIGINT) AS pixel_sum,
+               CAST(max(nf) * (max(nf) + 1) AS BIGINT) AS delay_total_cs
+        FROM x GROUP BY doc_id
     """
 
     # MP3 frame-walker oracle: every field recomputed arithmetically.

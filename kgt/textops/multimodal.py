@@ -23,8 +23,14 @@ two-tier:
   4:2:0/4:2:2 upsampling, JFIF color convert), so ``fake=False``
   genuinely decodes the compressed format a real training corpus's
   images actually use.
-* everything else (MP3/AAC, MP4/MKV, WebP, progressive JPEG) is
-  STUBBED: ``fake=False`` raises NotImplementedError naming the
+* GIF is REAL: a from-scratch LZW codec + frame compositor
+  (kgt/textops/gif.py — variable-width codes, interlace,
+  transparency, disposal 0/1/2, GCE delays), wired into both
+  decode_features and frame_sample under ``fake=False``.
+* MP3 / MP4 container METADATA is REAL (kgt/textops/mp3.py frame
+  walker, kgt/textops/mp4.py box-tree walker) — the codec payloads
+  (PCM synthesis, H.264/AAC frames) stay env-gated stubs.
+* everything else (AAC, MKV, WebP, progressive JPEG) is STUBBED: ``fake=False`` raises NotImplementedError naming the
   formats supported, and ``fake=True`` emits a deterministic fake
   feature row (byte length + md5 checksum + checksum-derived
   dimensions) so the batch plumbing is oracle-checked end-to-end
@@ -363,6 +369,11 @@ def _decode_one(payload: bytes, fake: bool):
 
             w, h, _ch, _px = decode_jpeg(payload)
             return len(payload), hashlib.md5(payload).hexdigest(), w, h
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from kgt.textops.gif import decode_gif
+
+            w, h, _frames, _delays = decode_gif(payload)
+            return len(payload), hashlib.md5(payload).hexdigest(), w, h
         # other formats would use PIL / torchaudio / pyav here
         raise NotImplementedError(
             "real media decode supports PNG and baseline JPEG "
@@ -541,12 +552,28 @@ def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Data
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 if not fake:
                     p = bytes(p)
+                    if p[:6] in (b"GIF87a", b"GIF89a"):
+                        from kgt.textops.gif import decode_gif
+
+                        _w, _h, frames, delays = decode_gif(p)
+                        total = len(frames)
+                        k = min(n_frames, total)
+                        for i in range(k):
+                            src = i * total // k
+                            ids.append(doc_id)
+                            idxs.append(src)
+                            # GIF delays are centiseconds; ts = sum of
+                            # delays before this frame
+                            tss.append(sum(delays[:src]) * 10)
+                            sums.append(hashlib.md5(frames[src]).hexdigest())
+                        continue
                     if p[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
                         raise NotImplementedError(
-                            "real frame sampling supports YUV4MPEG2 "
-                            "(from-scratch stdlib decoder); compressed "
-                            "containers need codec libraries not present "
-                            "here — pass fake=True for the stub"
+                            "real frame sampling supports YUV4MPEG2 and "
+                            "GIF (from-scratch stdlib decoders); "
+                            "compressed containers need codec libraries "
+                            "not present here — pass fake=True for the "
+                            "stub"
                         )
                     _w, _h, fn, fd, frames = decode_y4m(p)
                     total = len(frames)
