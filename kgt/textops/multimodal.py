@@ -17,12 +17,13 @@ two-tier:
   (header parameter list, FRAME markers, C420 plane sizes), so
   ``frame_sample(fake=False)`` genuinely walks and samples frames of
   the uncompressed interchange format.
-* baseline JPEG is REAL: a from-scratch huffman/DCT codec
-  (kgt/textops/jpeg.py — marker walk, canonical huffman with a cached
-  peek-16 LUT, batched numpy IDCT with an exact DC-only fast path,
-  4:2:0/4:2:2 upsampling, JFIF color convert), so ``fake=False``
-  genuinely decodes the compressed format a real training corpus's
-  images actually use.
+* JPEG is REAL — baseline AND progressive: a from-scratch
+  huffman/DCT codec (kgt/textops/jpeg.py — marker walk, canonical
+  huffman with a cached peek-16 LUT, SOF2 spectral-selection +
+  successive-approximation scan sequences, batched BLAS IDCT with an
+  exact DC-only fast path, 4:2:0/4:2:2 upsampling, JFIF color
+  convert), so ``fake=False`` genuinely decodes the compressed
+  format a real training corpus's images actually use.
 * GIF is REAL: a from-scratch LZW codec + frame compositor
   (kgt/textops/gif.py — variable-width codes, interlace,
   transparency, disposal 0/1/2, GCE delays), wired into both
@@ -30,7 +31,7 @@ two-tier:
 * MP3 / MP4 container METADATA is REAL (kgt/textops/mp3.py frame
   walker, kgt/textops/mp4.py box-tree walker) — the codec payloads
   (PCM synthesis, H.264/AAC frames) stay env-gated stubs.
-* everything else (AAC, MKV, WebP, progressive JPEG) is STUBBED: ``fake=False`` raises NotImplementedError naming the
+* everything else (AAC, MKV, WebP) is STUBBED: ``fake=False`` raises NotImplementedError naming the
   formats supported, and ``fake=True`` emits a deterministic fake
   feature row (byte length + md5 checksum + checksum-derived
   dimensions) so the batch plumbing is oracle-checked end-to-end

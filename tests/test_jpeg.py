@@ -212,12 +212,77 @@ def test_bad_inputs_raise_valueerror():
         decode_jpeg(p[:-2])  # EOI cut off
 
 
-def test_progressive_rejected_with_capability_error():
-    p = bytearray(encode_jpeg(8, 8, bytes(192), quality=75))
-    i = p.find(b"\xff\xc0")
-    p[i + 1] = 0xC2  # rewrite SOF0 → SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(p))
+def test_progressive_decodes_identical_to_baseline():
+    """SOF2 is supported: the entropy layer is lossless, so spectral-
+    selection ('ss') and successive-approximation ('sa') encodings of
+    the same image must decode to pixels IDENTICAL to the baseline
+    encoding — across all samplings and grayscale. This pins the DC
+    first/refinement scans, AC first (EOB/ZRL) and AC refinement
+    (correction bits) against the sequential path in one shot."""
+    w, h = 40, 24
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.zeros((h, w, 3))
+    img[:, :, 0] = 128 + 80 * np.sin(xx / 9.0)
+    img[:, :, 1] = 128 + 60 * np.cos(yy / 7.0)
+    img[:, :, 2] = 128 + 50 * np.sin((xx + yy) / 11.0)
+    px = np.clip(img, 0, 255).astype(np.uint8).tobytes()
+    for ss in ["444", "420", "422"]:
+        base = decode_jpeg(encode_jpeg(w, h, px, quality=80, subsample=ss))
+        for mode in ["ss", "sa"]:
+            got = decode_jpeg(
+                encode_jpeg(w, h, px, quality=80, subsample=ss, progressive=mode)
+            )
+            assert got == base, (ss, mode)
+    pxg = np.clip(img[:, :, 0], 0, 255).astype(np.uint8).tobytes()
+    baseg = decode_jpeg(encode_jpeg(w, h, pxg, n_channels=1, quality=80))
+    for mode in ["ss", "sa"]:
+        got = decode_jpeg(
+            encode_jpeg(w, h, pxg, n_channels=1, quality=80, progressive=mode)
+        )
+        assert got == baseg, mode
+
+
+def test_progressive_noise_and_odd_dims():
+    """Dense-AC noise (refinement ZRL + correction-bit pressure) and
+    dims that are not MCU multiples (the non-interleaved true-block
+    grid differs from the padded interleaved grid at 4:2:0)."""
+    rng = np.random.RandomState(11)
+    for w, h, ss in [(37, 21, "420"), (33, 15, "444"), (18, 26, "422")]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, px, quality=92, subsample=ss))
+        for mode in ["ss", "sa"]:
+            got = decode_jpeg(
+                encode_jpeg(w, h, px, quality=92, subsample=ss, progressive=mode)
+            )
+            assert got == base, (w, h, ss, mode)
+
+
+def test_progressive_solid_color_closed_form():
+    """The oracle closed form must hold through the progressive scan
+    sequence too (DC-only blocks at every precision level)."""
+    rgb = (200, 30, 90)
+    for mode in ["ss", "sa"]:
+        p = encode_jpeg(16, 16, bytes(rgb) * 256, quality=75, progressive=mode)
+        _, _, _, out = decode_jpeg(p)
+        arr = np.frombuffer(out, np.uint8).reshape(16, 16, 3)
+        assert set(map(tuple, arr.reshape(-1, 3))) == {
+            solid_color_roundtrip(rgb, 75)
+        }
+
+
+def test_progressive_sparse_exercises_eob_and_zrl():
+    """A mostly-flat image with isolated high-frequency spikes: long
+    zero runs (ZRL) and early EOBs in both first and refinement
+    passes."""
+    w, h = 48, 48
+    img = np.full((h, w, 3), 128.0)
+    img[5, 7] = (250, 10, 90)
+    img[30, 41] = (0, 255, 0)
+    px = np.clip(img, 0, 255).astype(np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, px, quality=95))
+    for mode in ["ss", "sa"]:
+        got = decode_jpeg(encode_jpeg(w, h, px, quality=95, progressive=mode))
+        assert got == base, mode
 
 
 def test_dri_zero_interval_is_a_noop():
