@@ -967,6 +967,16 @@ def _q_sim_topk_ivf_trained(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents)
 
 
+def _q_doc_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM scoring (quality.unigram_logprob):
+    vocabulary counts + per-occurrence ln(count/N) averages, the
+    CCNet-style likelihood filter's oracle-checkable core. Fully
+    SQL-expressible — the DuckDB twin retrains the same counts."""
+    from kgt.textops.quality import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def _q_doc_langid(spark, sf_dir):
     from kgt.textops.quality import language_id
 
@@ -1081,6 +1091,10 @@ def _q_multimodal_jpeg_real(spark, sf_dir):
                 d, L = int(doc_id), int(L)
                 w, h = L % 29 + 1, (L * 5) % 23 + 1
                 rgb = bytes(((d * 37) % 256, (d * 57) % 256, (d * 77) % 256))
+                # cycle the encoder's full mode matrix: baseline and
+                # BOTH progressive scan layerings (spectral selection,
+                # successive approximation) — the decoded solid color
+                # is mode-invariant, so one closed form gates them all
                 payloads.append(
                     encode_jpeg(
                         w,
@@ -1088,6 +1102,7 @@ def _q_multimodal_jpeg_real(spark, sf_dir):
                         rgb * (w * h),
                         quality=75,
                         subsample="444" if d % 2 == 0 else "420",
+                        progressive=[False, "ss", "sa"][d % 3],
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -1552,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_join": _q_sim_topk_ivf_join,
         "sim_topk_ivf_trained": _q_sim_topk_ivf_trained,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_langid": _q_doc_langid,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -2420,6 +2436,24 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
+    # unigram LM: retrain the same corpus counts in SQL; avg of
+    # ln(count/N) rounded 6 dp (engine log/avg agree well inside the
+    # rounding margin — same convention as the cosine oracles)
+    sqls["doc_unigram_logprob"] = f"""
+        WITH wrds AS (
+          SELECT doc_id,
+                 unnest(string_split({_norm}, ' ')) AS word
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        vc AS (SELECT word, count(*) AS c FROM wrds GROUP BY word),
+        tot AS (SELECT count(*) AS n FROM wrds)
+        SELECT w.doc_id,
+               count(*) AS n_words,
+               round(avg(ln(CAST(vc.c AS DOUBLE) / tot.n)), 6) AS avg_logprob
+        FROM wrds w JOIN vc USING (word) CROSS JOIN tot
+        GROUP BY w.doc_id
+    """
+
     sqls["doc_langid"] = f"""
         WITH p0 AS (SELECT doc_id, ' ' || {_norm} || ' ' AS p FROM documents),
         sc AS (SELECT doc_id, {scores_sql} FROM p0)

@@ -143,3 +143,49 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(normalize_text(F.col(text_col))).alias("fp_exact"),
         F.array_min(windows).alias("fp_rolling_min"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score — the
+    classic curation scorer (CCNet/Gopher-style filters rank documents
+    by LM likelihood; a unigram model over the corpus itself is its
+    oracle-checkable core).
+
+    Per document: avg_logprob = mean over word OCCURRENCES of
+    ln(count(word) / N) where count is the corpus-wide frequency of
+    the normalized word and N the corpus word total — no OOV by
+    construction (the model is trained on the same corpus it scores).
+    Rounded to 6 dp (cross-engine float parity, same convention as
+    the cosine oracles).
+
+    Scale shape: one shuffle to count the vocabulary (map-side
+    combined), one shuffle join of the exploded occurrences against
+    it (at 100 TB the Zipf head of the vocab can ride a broadcast
+    with a df-capped tail, the same hot-key split the dedup family
+    uses), one map-side-combined per-doc average. Empty documents
+    drop out (no words → no rows).
+    """
+    words = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "word"
+            ),
+        )
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = words.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

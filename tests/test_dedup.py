@@ -349,3 +349,25 @@ def test_connected_components_auto_chain_falls_back_to_star(spark, monkeypatch):
     got = dd.connected_components(pairs, algorithm="auto", max_iter=15).collect()
     assert called["max_iter"] == 15
     assert len(got) == n + 1 and all(r["comp"] == 0 for r in got)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """4-word corpus with known counts: 'a' x3, 'b' x2, 'c' x1 over
+    N=6; doc scores are exact means of ln(count/6)."""
+    import math
+
+    from kgt.textops.quality import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a  a b"), (2, "A b"), (3, "c"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert set(got) == {1, 2, 3}  # whitespace-only doc drops out
+    la, lb, lc = (math.log(x / 6) for x in (3, 2, 1))
+    assert got[1]["n_words"] == 3
+    assert got[1]["avg_logprob"] == round((2 * la + lb) / 3, 6)
+    assert got[2]["avg_logprob"] == round((la + lb) / 2, 6)  # case-folded
+    assert got[3]["avg_logprob"] == round(lc, 6)
+    # rarer-word docs score lower — the property the filter uses
+    assert got[3]["avg_logprob"] < got[1]["avg_logprob"]
