@@ -36,9 +36,14 @@ ARROW_OK = {
     "kg_pretty_nested",
     "multimodal_decode",
     "multimodal_decode_real",
+    "multimodal_jpeg_real",
     "multimodal_audio_real",
     "multimodal_video_real",
     "multimodal_resize",
+    "multimodal_resize_real",
+    "multimodal_gif_real",
+    "multimodal_mp3_meta",
+    "multimodal_mp4_meta",
     "multimodal_frames",
 }
 # brute-force ANN intentionally broadcast-NL-joins the tiny query set
@@ -48,6 +53,9 @@ CARTESIAN_OK = {
     # centroid table (a few KB) — a broadcast NL join by construction,
     # the scale-safe alternative to the O(n_cells) literal expression
     "sim_topk_ivf_join",
+    # the corpus word total N is a ONE-ROW broadcast (the standard
+    # scalar-broadcast pattern) — constant cost at any scale
+    "doc_unigram_logprob",
 }
 
 
