@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 _TRAILER = 0x3B
 _IMAGE = 0x2C
 _EXTENSION = 0x21
@@ -240,17 +242,26 @@ def decode_gif(payload: bytes):
             idx = lzw_decode(data, mcs, iw * ih)
             if ipacked & 0x40:
                 idx = _deinterlace(idx, iw, ih)
-            for y in range(ih):
-                row = idx[y * iw : (y + 1) * iw]
-                off = ((iy + y) * w + ix) * 3
-                for x, c in enumerate(row):
-                    if c == transparent:
-                        continue
-                    if 3 * c + 3 > len(pal):
-                        raise ValueError("GIF pixel index outside palette")
-                    canvas[off + 3 * x : off + 3 * x + 3] = pal[
-                        3 * c : 3 * c + 3
-                    ]
+            # numpy compositing: palette applied by fancy indexing over
+            # the whole sub-rect, transparency as a boolean mask — no
+            # per-pixel Python (the PNG-unfilter lesson)
+            ia = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
+            # bound-check only RENDERED indices — a transparent index
+            # outside the palette is legal (it is never looked up)
+            chk = ia if transparent is None else ia[ia != transparent]
+            if chk.size and int(chk.max()) * 3 + 3 > len(pal):
+                raise ValueError("GIF pixel index outside palette")
+            pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            rgb = pal_arr[np.minimum(ia, len(pal) // 3 - 1)]  # (ih, iw, 3)
+            cv = np.frombuffer(bytes(canvas), dtype=np.uint8).reshape(h, w, 3)
+            cv = cv.copy()
+            sub = cv[iy : iy + ih, ix : ix + iw]
+            if transparent is None:
+                sub[:] = rgb
+            else:
+                opaque = ia != transparent
+                sub[opaque] = rgb[opaque]
+            canvas = bytearray(cv.tobytes())
             frames.append(bytes(canvas))
             delays.append(delay)
             if disposal == 2:  # restore to background in the sub-rect
