@@ -185,10 +185,11 @@ R11_NEGEVAL = [t for t in R11 if t[1] == "TestTurtleNegativeEval"]
 
 
 def test_rdf11_manifest_enumerates_the_snapshot():
-    # round-5 expansion: ≥ 225 rdf11 cases (VERDICT r4 item 1 asked
-    # ≥ 250 across both suites; rdf12-star carries the rest)
-    assert len(R11) >= 225
-    assert len(R11_POS) >= 57 and len(R11_NEG) >= 66 and len(R11_EVAL) >= 80
+    # round-5 expansion ×2: ≥ 250 rdf11 cases — with rdf12-star's 38
+    # the vendored total (292) now matches the ~290-test networked
+    # battery the reference runs remotely (suite_spec.rb:9)
+    assert len(R11) >= 250
+    assert len(R11_POS) >= 59 and len(R11_NEG) >= 75 and len(R11_EVAL) >= 94
     assert len(R11_NEGEVAL) >= 4
     assert all(r for *_, r in R11_EVAL)
 
