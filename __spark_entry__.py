@@ -1318,6 +1318,91 @@ def _q_multimodal_resize_real(spark, sf_dir):
     )
 
 
+def _q_multimodal_media_meta(spark, sf_dir):
+    """The unified mixed-media metadata scan (multimodal.media_metadata)
+    under the oracle: doc_id%7 picks the payload format — PNG, JPEG,
+    GIF, WAV, Y4M, MP4, MP3 — each synthesized deterministically with
+    the engine's own encoders, then ONE operator sniffs signatures and
+    routes to the right decoder/walker. The oracle is a per-format
+    CASE of closed forms over every metadata column, so a wrong
+    signature route, dimension, frame count, rate or duration in ANY
+    of the seven formats hash-fails one query."""
+    import pandas as pd
+
+    from kgt.textops.gif import encode_gif
+    from kgt.textops.jpeg import encode_jpeg
+    from kgt.textops.mp3 import encode_mp3_frames
+    from kgt.textops.mp4 import encode_mp4
+    from kgt.textops.multimodal import (
+        encode_png,
+        encode_wav,
+        encode_y4m,
+        media_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+
+    def mk_payload(d, L):
+        t = d % 7
+        if t == 0:
+            w, h = L % 20 + 1, (L * 3) % 20 + 1
+            px = bytes((d * 31 + i) % 256 for i in range(w * h * 3))
+            return encode_png(w, h, px, color_type=2)
+        if t == 1:
+            w, h = L % 29 + 1, (L * 5) % 23 + 1
+            rgb = bytes(((d * 37) % 256, (d * 57) % 256, (d * 77) % 256))
+            return encode_jpeg(w, h, rgb * (w * h), quality=75)
+        if t == 2:
+            w, h, nf = L % 21 + 4, (L * 7) % 17 + 4, d % 3 + 1
+            pal = [(c, c, c) for c in range(4)]
+            return encode_gif(
+                w, h, [bytes(w * h) for _ in range(nf)], pal,
+                delays=[(f + 1) * 2 for f in range(nf)],
+            )
+        if t == 3:
+            ch, rate, nfr = d % 2 + 1, 8000 * (d % 3 + 1), L % 80 + 1
+            return encode_wav(ch, rate, [0] * (nfr * ch), bits=16)
+        if t == 4:
+            w, h, n = (L % 10 + 1) * 2, (L % 7 + 1) * 2, d % 4 + 1
+            fsz = w * h * 3 // 2
+            return encode_y4m(w, h, [bytes(fsz)] * n, fps=(25, 1))
+        if t == 5:
+            w, h = (d * 16) % 1920 + 2, (d * 9) % 1080 + 2
+            dur = (d * 13) % 5000 + 1000
+            return encode_mp4(
+                1000, dur,
+                [
+                    dict(track_id=1, handler="vide", width=w, height=h,
+                         media_timescale=30000, media_duration=dur * 30,
+                         codec="avc1"),
+                    dict(track_id=2, handler="soun", width=0, height=0,
+                         media_timescale=48000, media_duration=dur * 48,
+                         codec="mp4a"),
+                ],
+            )
+        return encode_mp3_frames(
+            n_frames=L % 20 + 1,
+            bitrate_kbps=[32, 64, 96, 128, 160, 192, 256, 320][d % 8],
+            sample_rate=[44100, 48000, 32000][d % 3],
+            channels=1 + (d % 2),
+        )
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = [
+                mk_payload(int(d), int(L))
+                for d, L in zip(pdf["doc_id"], pdf["L"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+    # n_bytes is honest but not closed-form for compressed payloads —
+    # keep the oracle to the format-derived columns
+    return media_metadata(media).drop("n_bytes")
+
+
 def _q_multimodal_gif_real(spark, sf_dir):
     """REAL GIF decode under the oracle (from-scratch LZW +
     compositor, kgt/textops/gif.py): per doc a deterministic animated
@@ -1579,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_real": _q_multimodal_video_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_resize_real": _q_multimodal_resize_real,
+        "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_gif_real": _q_multimodal_gif_real,
         "multimodal_mp3_meta": _q_multimodal_mp3_meta,
         "multimodal_mp4_meta": _q_multimodal_mp4_meta,
@@ -2661,6 +2747,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(width * height * 3 AS BIGINT) AS n_pixel_bytes,
                CAST(width * height * CAST(r2 + g2 + b2 AS BIGINT) AS BIGINT) AS pixel_sum
         FROM rgb2
+    """
+
+    # unified media scan: per-format CASE of the same closed forms the
+    # individual codec oracles use; t = doc_id%7 routes the format
+    sqls["multimodal_media_meta"] = """
+        WITH d AS (
+          SELECT doc_id, doc_id % 7 AS t, length(text) AS L FROM documents
+        )
+        SELECT doc_id,
+               CASE t WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                      WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+                      WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'video/mp4'
+                      ELSE 'audio/mpeg' END AS media_type,
+               CAST(CASE t WHEN 0 THEN L % 20 + 1 WHEN 1 THEN L % 29 + 1
+                    WHEN 2 THEN L % 21 + 4 WHEN 4 THEN (L % 10 + 1) * 2
+                    WHEN 5 THEN (doc_id * 16) % 1920 + 2
+                    ELSE NULL END AS INTEGER) AS width,
+               CAST(CASE t WHEN 0 THEN (L * 3) % 20 + 1
+                    WHEN 1 THEN (L * 5) % 23 + 1
+                    WHEN 2 THEN (L * 7) % 17 + 4
+                    WHEN 4 THEN (L % 7 + 1) * 2
+                    WHEN 5 THEN (doc_id * 9) % 1080 + 2
+                    ELSE NULL END AS INTEGER) AS height,
+               CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN 1
+                    WHEN 2 THEN doc_id % 3 + 1 WHEN 4 THEN doc_id % 4 + 1
+                    WHEN 6 THEN L % 20 + 1
+                    ELSE NULL END AS INTEGER) AS n_frames,
+               CAST(CASE t WHEN 3 THEN 8000 * (doc_id % 3 + 1)
+                    WHEN 5 THEN 48000
+                    WHEN 6 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+                         WHEN 1 THEN 48000 ELSE 32000 END
+                    ELSE NULL END AS INTEGER) AS sample_rate,
+               CAST(CASE t WHEN 3 THEN doc_id % 2 + 1
+                    WHEN 6 THEN 1 + doc_id % 2
+                    ELSE NULL END AS INTEGER) AS channels,
+               CAST(CASE t
+                    WHEN 2 THEN (doc_id % 3 + 1) * (doc_id % 3 + 2) * 10
+                    WHEN 3 THEN floor(1000.0 * (L % 80 + 1)
+                                      / (8000 * (doc_id % 3 + 1)) + 0.5)
+                    WHEN 4 THEN (doc_id % 4 + 1) * 40
+                    WHEN 5 THEN (doc_id * 13) % 5000 + 1000
+                    WHEN 6 THEN floor(1000.0 * (L % 20 + 1) * 1152
+                         / (CASE doc_id % 3 WHEN 0 THEN 44100
+                            WHEN 1 THEN 48000 ELSE 32000 END) + 0.5)
+                    ELSE NULL END AS BIGINT) AS duration_ms
+        FROM d
     """
 
     # GIF oracle: lossless codec → exact closed form. Per (frame,

@@ -693,3 +693,102 @@ def decode_y4m(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
         frames.append(fb)
         pos = start + fsz
     return width, height, fps_num, fps_den, frames
+
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int, "
+    "n_frames int, sample_rate int, channels int, duration_ms long"
+)
+
+
+def _media_meta_one(doc_id: int, p: bytes) -> tuple:
+    """Signature-sniffed metadata for one payload across every format
+    this engine decodes. Rounding convention: floor(x + 0.5) (half-up)
+    for ms durations — the oracle-reproducible choice."""
+    import math
+
+    nb = len(p)
+    if p[:8] == _PNG_SIG:
+        w, h, _ch, _px = decode_png(p)
+        return (doc_id, "image/png", nb, w, h, 1, None, None, None)
+    if p[:2] == b"\xff\xd8":
+        from kgt.textops.jpeg import decode_jpeg
+
+        w, h, _ch, _px = decode_jpeg(p)
+        return (doc_id, "image/jpeg", nb, w, h, 1, None, None, None)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from kgt.textops.gif import decode_gif
+
+        w, h, frames, delays = decode_gif(p)
+        return (
+            doc_id, "image/gif", nb, w, h, len(frames), None, None,
+            sum(delays) * 10,
+        )
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        ch, rate, _bits, n_frames, _data = decode_wav(p)
+        return (
+            doc_id, "audio/wav", nb, None, None, None, rate, ch,
+            int(math.floor(1000.0 * n_frames / rate + 0.5)),
+        )
+    if p[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        w, h, fn, fd, frames = decode_y4m(p)
+        return (
+            doc_id, "video/y4m", nb, w, h, len(frames), None, None,
+            int(math.floor(1000.0 * len(frames) * fd / fn + 0.5)),
+        )
+    if p[4:8] == b"ftyp":
+        from kgt.textops.mp4 import parse_mp4
+
+        m = parse_mp4(p)
+        vid = next(
+            (t for t in m["tracks"] if t["handler"] == "vide"), None
+        )
+        aud = next(
+            (t for t in m["tracks"] if t["handler"] == "soun"), None
+        )
+        return (
+            doc_id, "video/mp4", nb,
+            int(vid["width"]) if vid else None,
+            int(vid["height"]) if vid else None,
+            None,
+            aud["media_timescale"] if aud else None,
+            None,
+            m["duration_ms"],
+        )
+    if p[:3] == b"ID3" or (
+        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+    ):
+        from kgt.textops.mp3 import parse_mp3
+
+        m = parse_mp3(p)
+        return (
+            doc_id, "audio/mpeg", nb, None, None, m["n_frames"],
+            m["sample_rate"], m["channels"], m["duration_ms"],
+        )
+    raise ValueError("unrecognized media signature")
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """ONE metadata scan over a mixed-media binary column — the
+    operator a curation pipeline actually runs over a 100 TB lake of
+    heterogeneous payloads. Routes by signature to the engine's real
+    decoders/walkers (PNG, baseline+progressive JPEG, GIF, WAV, Y4M,
+    MP4 boxes, MP3 frames) and emits one typed row per payload;
+    unrecognized signatures raise (flag corrupt data, don't skip it).
+    mapInPandas: one Arrow batch in, one metadata frame out."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                _media_meta_one(int(d), bytes(p))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "width", "height",
+                    "n_frames", "sample_rate", "channels", "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_META_SCHEMA)

@@ -117,3 +117,66 @@ class TestMp4:
     def test_frame_decode_is_an_honest_stub(self):
         with pytest.raises(NotImplementedError, match="parse_mp4"):
             decode_frames(b"")
+
+
+def test_media_metadata_routes_all_formats(spark):
+    """One operator, seven formats: signature sniffing must route each
+    payload to its decoder and emit the right typed row."""
+    import pandas as pd
+
+    from kgt.textops.gif import encode_gif
+    from kgt.textops.jpeg import encode_jpeg
+    from kgt.textops.multimodal import (
+        encode_png,
+        encode_wav,
+        encode_y4m,
+        media_metadata,
+    )
+
+    payloads = {
+        1: encode_png(5, 3, bytes(45), color_type=2),
+        2: encode_jpeg(6, 4, bytes((9, 9, 9)) * 24, quality=75),
+        3: encode_gif(4, 4, [bytes(16)] * 2, [(0, 0, 0), (1, 1, 1)], delays=[3, 7]),
+        4: encode_wav(2, 8000, [0] * 40, bits=16),  # 20 frames
+        5: encode_y4m(4, 2, [bytes(12)] * 3, fps=(25, 1)),
+        6: encode_mp4(1000, 2500, [dict(track_id=1, handler="vide",
+            width=320, height=200, media_timescale=30000,
+            media_duration=75000, codec="avc1")]),
+        7: encode_mp3_frames(5, 128, 32000, 1),
+    }
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(payloads),
+                "payload": [payloads[k] for k in payloads],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in media_metadata(media).collect()}
+    assert got[1]["media_type"] == "image/png" and got[1]["width"] == 5
+    assert got[2]["media_type"] == "image/jpeg" and got[2]["height"] == 4
+    assert got[3]["media_type"] == "image/gif" and got[3]["n_frames"] == 2
+    assert got[3]["duration_ms"] == 100  # (3+7) cs
+    assert got[4]["media_type"] == "audio/wav" and got[4]["channels"] == 2
+    # 20 frames @ 8000 Hz = 2.5 ms → 3 under the operator's documented
+    # half-UP convention (oracle floor(x+0.5); Python round would give 2)
+    assert got[4]["duration_ms"] == 3
+    assert got[5]["media_type"] == "video/y4m" and got[5]["n_frames"] == 3
+    assert got[5]["duration_ms"] == 120
+    assert got[6]["media_type"] == "video/mp4" and got[6]["width"] == 320
+    assert got[6]["duration_ms"] == 2500
+    assert got[7]["media_type"] == "audio/mpeg" and got[7]["sample_rate"] == 32000
+    assert all(got[k]["n_bytes"] == len(payloads[k]) for k in payloads)
+
+
+def test_media_metadata_rejects_unknown_signature(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from kgt.textops.multimodal import media_metadata
+
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"NOTMEDIA" + bytes(16)]})
+    )
+    with _pytest.raises(Exception, match="unrecognized media signature"):
+        media_metadata(media).collect()
