@@ -1320,13 +1320,14 @@ def _q_multimodal_resize_real(spark, sf_dir):
 
 def _q_multimodal_media_meta(spark, sf_dir):
     """The unified mixed-media metadata scan (multimodal.media_metadata)
-    under the oracle: doc_id%7 picks the payload format — PNG, JPEG,
-    GIF, WAV, Y4M, MP4, MP3 — each synthesized deterministically with
-    the engine's own encoders, then ONE operator sniffs signatures and
-    routes to the right decoder/walker. The oracle is a per-format
-    CASE of closed forms over every metadata column, so a wrong
-    signature route, dimension, frame count, rate or duration in ANY
-    of the seven formats hash-fails one query."""
+    under the oracle: doc_id%9 picks the payload format — PNG, JPEG,
+    GIF, WAV, Y4M, MP4, MP3, WebP, Matroska — each synthesized
+    deterministically with the engine's own encoders, then ONE
+    operator sniffs signatures and routes to the right decoder/walker.
+    The oracle is a per-format CASE of closed forms over every
+    metadata column, so a wrong signature route, dimension, frame
+    count, rate or duration in ANY of the nine formats hash-fails one
+    query."""
     import pandas as pd
 
     from kgt.textops.gif import encode_gif
@@ -1345,7 +1346,7 @@ def _q_multimodal_media_meta(spark, sf_dir):
     )
 
     def mk_payload(d, L):
-        t = d % 7
+        t = d % 9
         if t == 0:
             w, h = L % 20 + 1, (L * 3) % 20 + 1
             px = bytes((d * 31 + i) % 256 for i in range(w * h * 3))
@@ -1382,11 +1383,31 @@ def _q_multimodal_media_meta(spark, sf_dir):
                          codec="mp4a"),
                 ],
             )
-        return encode_mp3_frames(
-            n_frames=L % 20 + 1,
-            bitrate_kbps=[32, 64, 96, 128, 160, 192, 256, 320][d % 8],
-            sample_rate=[44100, 48000, 32000][d % 3],
-            channels=1 + (d % 2),
+        if t == 6:
+            return encode_mp3_frames(
+                n_frames=L % 20 + 1,
+                bitrate_kbps=[32, 64, 96, 128, 160, 192, 256, 320][d % 8],
+                sample_rate=[44100, 48000, 32000][d % 3],
+                channels=1 + (d % 2),
+            )
+        if t == 7:
+            from kgt.textops.webp import encode_webp_header
+
+            return encode_webp_header(
+                (d * 11) % 1000 + 1, (d * 17) % 800 + 1,
+                fmt=["vp8l", "vp8", "vp8x"][d % 3],
+            )
+        from kgt.textops.mkv import encode_mkv as _emkv
+
+        return _emkv(
+            (d * 19) % 6000 + 500,
+            [
+                dict(type="video", codec="V_VP9",
+                     width=(d * 8) % 1000 + 2, height=(d * 5) % 700 + 2),
+                dict(type="audio", codec="A_OPUS",
+                     sample_rate=[48000, 44100, 32000][d % 3],
+                     channels=d % 2 + 1),
+            ],
         )
 
     def enc(batches):
@@ -2753,34 +2774,42 @@ def oracle_sql() -> dict[str, str]:
     # individual codec oracles use; t = doc_id%7 routes the format
     sqls["multimodal_media_meta"] = """
         WITH d AS (
-          SELECT doc_id, doc_id % 7 AS t, length(text) AS L FROM documents
+          SELECT doc_id, doc_id % 9 AS t, length(text) AS L FROM documents
         )
         SELECT doc_id,
                CASE t WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
                       WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
                       WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'video/mp4'
-                      ELSE 'audio/mpeg' END AS media_type,
+                      WHEN 6 THEN 'audio/mpeg' WHEN 7 THEN 'image/webp'
+                      ELSE 'video/matroska' END AS media_type,
                CAST(CASE t WHEN 0 THEN L % 20 + 1 WHEN 1 THEN L % 29 + 1
                     WHEN 2 THEN L % 21 + 4 WHEN 4 THEN (L % 10 + 1) * 2
                     WHEN 5 THEN (doc_id * 16) % 1920 + 2
+                    WHEN 7 THEN (doc_id * 11) % 1000 + 1
+                    WHEN 8 THEN (doc_id * 8) % 1000 + 2
                     ELSE NULL END AS INTEGER) AS width,
                CAST(CASE t WHEN 0 THEN (L * 3) % 20 + 1
                     WHEN 1 THEN (L * 5) % 23 + 1
                     WHEN 2 THEN (L * 7) % 17 + 4
                     WHEN 4 THEN (L % 7 + 1) * 2
                     WHEN 5 THEN (doc_id * 9) % 1080 + 2
+                    WHEN 7 THEN (doc_id * 17) % 800 + 1
+                    WHEN 8 THEN (doc_id * 5) % 700 + 2
                     ELSE NULL END AS INTEGER) AS height,
                CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN 1
                     WHEN 2 THEN doc_id % 3 + 1 WHEN 4 THEN doc_id % 4 + 1
-                    WHEN 6 THEN L % 20 + 1
+                    WHEN 6 THEN L % 20 + 1 WHEN 7 THEN 1
                     ELSE NULL END AS INTEGER) AS n_frames,
                CAST(CASE t WHEN 3 THEN 8000 * (doc_id % 3 + 1)
                     WHEN 5 THEN 48000
                     WHEN 6 THEN CASE doc_id % 3 WHEN 0 THEN 44100
                          WHEN 1 THEN 48000 ELSE 32000 END
+                    WHEN 8 THEN CASE doc_id % 3 WHEN 0 THEN 48000
+                         WHEN 1 THEN 44100 ELSE 32000 END
                     ELSE NULL END AS INTEGER) AS sample_rate,
                CAST(CASE t WHEN 3 THEN doc_id % 2 + 1
                     WHEN 6 THEN 1 + doc_id % 2
+                    WHEN 8 THEN doc_id % 2 + 1
                     ELSE NULL END AS INTEGER) AS channels,
                CAST(CASE t
                     WHEN 2 THEN (doc_id % 3 + 1) * (doc_id % 3 + 2) * 10
@@ -2791,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 6 THEN floor(1000.0 * (L % 20 + 1) * 1152
                          / (CASE doc_id % 3 WHEN 0 THEN 44100
                             WHEN 1 THEN 48000 ELSE 32000 END) + 0.5)
+                    WHEN 8 THEN (doc_id * 19) % 6000 + 500
                     ELSE NULL END AS BIGINT) AS duration_ms
         FROM d
     """

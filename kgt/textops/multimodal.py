@@ -730,6 +730,29 @@ def _media_meta_one(doc_id: int, p: bytes) -> tuple:
             doc_id, "audio/wav", nb, None, None, None, rate, ch,
             int(math.floor(1000.0 * n_frames / rate + 0.5)),
         )
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        from kgt.textops.webp import parse_webp
+
+        m = parse_webp(p)
+        return (
+            doc_id, "image/webp", nb, m["width"], m["height"], 1,
+            None, None, None,
+        )
+    if p[:4] == b"\x1a\x45\xdf\xa3":
+        from kgt.textops.mkv import parse_mkv
+
+        m = parse_mkv(p)
+        vid = next((t for t in m["tracks"] if t["type"] == "video"), None)
+        aud = next((t for t in m["tracks"] if t["type"] == "audio"), None)
+        return (
+            doc_id, "video/matroska", nb,
+            vid["width"] if vid else None,
+            vid["height"] if vid else None,
+            None,
+            aud["sample_rate"] if aud else None,
+            aud["channels"] if aud else None,
+            m["duration_ms"],
+        )
     if p[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
         w, h, fn, fd, frames = decode_y4m(p)
         return (

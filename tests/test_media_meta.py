@@ -180,3 +180,112 @@ def test_media_metadata_rejects_unknown_signature(spark):
     )
     with _pytest.raises(Exception, match="unrecognized media signature"):
         media_metadata(media).collect()
+
+
+class TestWebP:
+    def test_all_three_flavors(self):
+        from kgt.textops.webp import encode_webp_header, parse_webp
+
+        for fmt, kw in [
+            ("vp8l", dict(has_alpha=True)),
+            ("vp8", {}),
+            ("vp8x", dict(has_animation=True)),
+        ]:
+            m = parse_webp(encode_webp_header(640, 360, fmt=fmt, **kw))
+            assert (m["format"], m["width"], m["height"]) == (fmt, 640, 360)
+        m = parse_webp(encode_webp_header(1, 1, fmt="vp8l"))
+        assert (m["width"], m["height"]) == (1, 1)  # the -1 encoding edge
+        m = parse_webp(encode_webp_header(16384, 16384, fmt="vp8l"))
+        assert (m["width"], m["height"]) == (16384, 16384)
+
+    def test_errors(self):
+        from kgt.textops.webp import (
+            decode_pixels,
+            encode_webp_header,
+            parse_webp,
+        )
+
+        p = encode_webp_header(8, 8)
+        with pytest.raises(ValueError, match="RIFF/WEBP"):
+            parse_webp(b"RIFF\x04\x00\x00\x00WAVE")
+        with pytest.raises(ValueError, match="RIFF size"):
+            parse_webp(p[:-1])
+        # corrupt the VP8L signature byte
+        bad = bytearray(p)
+        bad[p.index(b"VP8L") + 8] = 0x00
+        with pytest.raises(ValueError, match="VP8L signature"):
+            parse_webp(bytes(bad))
+        with pytest.raises(NotImplementedError, match="parse_webp"):
+            decode_pixels(p)
+
+
+class TestMkv:
+    def test_two_tracks_and_scale(self):
+        from kgt.textops.mkv import encode_mkv, parse_mkv
+
+        p = encode_mkv(
+            2500,
+            [
+                dict(type="video", codec="V_VP9", width=1280, height=720),
+                dict(type="audio", codec="A_OPUS", sample_rate=48000,
+                     channels=2),
+            ],
+        )
+        m = parse_mkv(p)
+        assert m["duration_ms"] == 2500 and m["n_tracks"] == 2
+        v, a = m["tracks"]
+        assert (v["type"], v["codec"], v["width"], v["height"]) == (
+            "video", "V_VP9", 1280, 720,
+        )
+        assert (a["type"], a["sample_rate"], a["channels"]) == (
+            "audio", 48000, 2,
+        )
+        # non-default timestamp scale round-trips the ms duration
+        m2 = parse_mkv(
+            encode_mkv(
+                1234,
+                [dict(type="audio", codec="A_AAC", sample_rate=44100,
+                      channels=1)],
+                timestamp_scale=500_000,
+            )
+        )
+        assert m2["duration_ms"] == 1234 and m2["timestamp_scale"] == 500_000
+
+    def test_errors(self):
+        from kgt.textops.mkv import decode_frames, encode_mkv, parse_mkv
+
+        with pytest.raises(ValueError, match="EBML"):
+            parse_mkv(b"\x00junk")
+        p = encode_mkv(100, [dict(type="audio", codec="A_AAC",
+                                  sample_rate=8000, channels=1)])
+        with pytest.raises(ValueError, match="overruns|truncated"):
+            parse_mkv(p[:-3])
+        with pytest.raises(NotImplementedError, match="parse_mkv"):
+            decode_frames(p)
+
+
+def test_media_metadata_routes_webp_and_mkv(spark):
+    import pandas as pd
+
+    from kgt.textops.mkv import encode_mkv
+    from kgt.textops.multimodal import media_metadata
+    from kgt.textops.webp import encode_webp_header
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [
+                    encode_webp_header(320, 200, fmt="vp8"),
+                    encode_mkv(1500, [
+                        dict(type="video", codec="V_AV1", width=640,
+                             height=480),
+                    ]),
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in media_metadata(media).collect()}
+    assert got[1]["media_type"] == "image/webp" and got[1]["width"] == 320
+    assert got[2]["media_type"] == "video/matroska"
+    assert got[2]["height"] == 480 and got[2]["duration_ms"] == 1500
