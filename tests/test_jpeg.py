@@ -401,3 +401,29 @@ def test_roundtrip_422_sampling():
     _, _, _, out2 = decode_jpeg(p2)
     arr2 = np.frombuffer(out2, np.uint8).reshape(8, 16, 3)
     assert set(map(tuple, arr2.reshape(-1, 3))) == {solid_color_roundtrip(rgb, 75)}
+
+
+def test_progressive_identity_fuzz():
+    """Property fuzz over the mode matrix: random dims/content/quality,
+    progressive must decode pixel-identical to baseline every time."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        q=st.sampled_from([40, 75, 92]),
+        ss=st.sampled_from(["444", "420", "422"]),
+        mode=st.sampled_from(["ss", "sa"]),
+    )
+    def check(w, h, seed, q, ss, mode):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, px, quality=q, subsample=ss))
+        got = decode_jpeg(
+            encode_jpeg(w, h, px, quality=q, subsample=ss, progressive=mode)
+        )
+        assert got == base
+
+    check()

@@ -348,3 +348,41 @@ def test_streaming_near_dup_bucket_cap_saturates(spark, tmp_path):
         r["doc_a"] for r in df.collect()
     } | {r["doc_b"] for r in df.collect()}
     assert members == {0, 1, 2, 3}
+
+
+def test_streaming_media_metadata(spark, tmp_path):
+    """media_metadata is a stateless mapInPandas transform, so it runs
+    unchanged on a stream — the continuous-ingest form of the mixed
+    media scan."""
+    import pandas as pd
+
+    from kgt.textops.jpeg import encode_jpeg
+    from kgt.textops.multimodal import encode_png, media_metadata
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [
+                    encode_png(7, 5, bytes(105), color_type=2),
+                    encode_jpeg(9, 3, bytes((1, 2, 3)) * 27, quality=75),
+                ],
+            }
+        )
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        media_metadata(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["media_type"] == "image/png" and got[1]["width"] == 7
+    assert got[2]["media_type"] == "image/jpeg" and got[2]["height"] == 3
