@@ -967,6 +967,18 @@ def _q_sim_topk_ivf_trained(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents)
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Substring-level duplication profile (dedup.duplicated_spans —
+    the k-gram fingerprint form of Lee et al. 2022's suffix-array
+    dedup) over the dup corpus: exact copies push dup_ratio to 1.0,
+    near-dup mutants share most windows, unique docs sit at their
+    corpus-boilerplate floor. Oracle rebuilds the same window
+    fingerprints with generate_series + substr + md5."""
+    from kgt.textops.dedup import duplicated_spans
+
+    return duplicated_spans(_dup_corpus(spark, sf_dir), k=30)
+
+
 def _q_doc_unigram_logprob(spark, sf_dir):
     """Corpus-trained unigram LM scoring (quality.unigram_logprob):
     vocabulary counts + per-occurrence ln(count/N) averages, the
@@ -1673,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_join": _q_sim_topk_ivf_join,
         "sim_topk_ivf_trained": _q_sim_topk_ivf_trained,
+        "dedup_spans": _q_dedup_spans,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_langid": _q_doc_langid,
         "doc_token_count": _q_doc_token_count,
@@ -2543,6 +2556,33 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
+    # substring-duplication profile: identical window fingerprints
+    # rebuilt with lateral generate_series + substr + md5 over the
+    # same normalized text; a window is duplicated when its corpus
+    # count exceeds 1
+    sqls["dedup_spans"] = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        t AS (
+          SELECT doc_id, {_norm} AS x FROM corpus
+          WHERE length({_norm}) >= 30
+        ),
+        pos AS (
+          SELECT doc_id, x,
+                 unnest(generate_series(1, length(x) - 29)) AS i
+          FROM t
+        ),
+        w AS (SELECT doc_id, md5(substr(x, i, 30)) AS h FROM pos),
+        hc AS (SELECT h, count(*) AS c FROM w GROUP BY h)
+        SELECT w.doc_id,
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               round(CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dup_ratio
+        FROM w JOIN hc USING (h)
+        GROUP BY w.doc_id
+    """
+
     # unigram LM: retrain the same corpus counts in SQL; avg of
     # ln(count/N) rounded 6 dp (engine log/avg agree well inside the
     # rounding margin — same convention as the cosine oracles)

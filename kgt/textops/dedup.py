@@ -648,3 +648,62 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING-level duplication detection — the k-gram
+    fingerprint form of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): document-level dedup misses the
+    boilerplate, licenses and quoted passages that repeat INSIDE
+    otherwise-unique documents, and those duplicated spans are what
+    the paper's suffix-array pass removes.
+
+    Every length-k character window of the normalized text is
+    fingerprinted (md5); a window is duplicated when its fingerprint
+    occurs more than once in the corpus (another document OR another
+    position of the same document). Returns per-doc
+    (doc_id, n_windows, n_dup_windows, dup_ratio) — the span-level
+    duplication profile a curation gate thresholds on.
+
+    Scale shape: the window table is O(total characters) rows — that
+    is the operator's contract (the distributed stand-in for a suffix
+    array); it flows through ONE map-side-combined fingerprint count
+    and one shuffle join back. A boilerplate window only inflates a
+    COUNT (never a self-join), so hot fingerprints cannot go
+    quadratic. Windows are character-level on normalized text, so the
+    same span duplicates regardless of its tokenization.
+    """
+    norm = normalize_text(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), norm.alias("x")
+    ).filter(F.length("x") >= k)
+    w = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("x") - (k - 1)),
+                lambda i: F.md5(F.substr(F.col("x"), i, F.lit(k))),
+            )
+        ).alias("h"),
+    )
+    hc = w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        w.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

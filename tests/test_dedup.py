@@ -371,3 +371,31 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[3]["avg_logprob"] == round(lc, 6)
     # rarer-word docs score lower — the property the filter uses
     assert got[3]["avg_logprob"] < got[1]["avg_logprob"]
+
+
+def test_duplicated_spans_profile(spark):
+    """Span-level dedup (Lee et al. style k-gram fingerprints): exact
+    copies hit ratio 1.0, docs sharing a long prefix mark exactly the
+    shared windows, unique docs sit at 0, short docs drop out."""
+    from kgt.textops.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    rows = [
+        (1, shared + " in the morning sunlight today"),
+        (2, shared + " in the evening rainfall tonight"),
+        (3, "completely different content here sharing nothing with them"),
+        (4, shared + " in the morning sunlight today"),  # exact copy of 1
+        (5, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, k=30).collect()}
+    assert set(got) == {1, 2, 3, 4}  # doc 5 shorter than k drops out
+    assert got[1]["dup_ratio"] == 1.0 and got[4]["dup_ratio"] == 1.0
+    assert got[3]["dup_ratio"] == 0.0
+    # docs 1/2: every window fully inside the true common prefix
+    # ("... lazy dog in the ") is duplicated
+    import os
+
+    common = len(os.path.commonprefix([rows[0][1], rows[1][1]]))
+    assert got[2]["n_dup_windows"] == common - 30 + 1
+    assert 0 < got[2]["dup_ratio"] < 1
