@@ -44,6 +44,7 @@ ARROW_OK = {
     "multimodal_gif_real",
     "multimodal_mp3_meta",
     "multimodal_mp4_meta",
+    "multimodal_media_meta",
     "multimodal_frames",
 }
 # brute-force ANN intentionally broadcast-NL-joins the tiny query set
