@@ -53,7 +53,11 @@ def main():
         "sim_topk",
         "sim_topk_ivf",
         "doc_quality",
+        "doc_unigram_logprob",
+        "dedup_spans",
         "multimodal_decode",
+        "multimodal_jpeg_real",
+        "multimodal_media_meta",
         "multimodal_frames",
     ]
 

@@ -289,3 +289,70 @@ def test_media_metadata_routes_webp_and_mkv(spark):
     assert got[1]["media_type"] == "image/webp" and got[1]["width"] == 320
     assert got[2]["media_type"] == "video/matroska"
     assert got[2]["height"] == 480 and got[2]["duration_ms"] == 1500
+
+
+def test_mp4_tkhd_version1_64bit_offsets():
+    """Hand-built v1 tkhd (64-bit creation/modification/duration):
+    track_id at +16, geometry past the 84-byte prefix — offsets our
+    own encoder never exercises (it writes v0)."""
+    from kgt.textops.mp4 import parse_mp4
+
+    def full(btype, version, body):
+        b = bytes([version]) + (0).to_bytes(3, "big") + body
+        return struct.pack(">I", len(b) + 8) + btype + b
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd_body = (
+        struct.pack(">QQ", 0, 0)          # creation, modification (64-bit)
+        + struct.pack(">I", 42)            # track_id
+        + struct.pack(">I", 0)             # reserved
+        + struct.pack(">Q", 0)             # duration (64-bit)
+        + bytes(8)                          # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt/volume/reserved
+        + matrix
+        + struct.pack(">II", 800 << 16, 600 << 16)
+    )
+    mvhd = full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 7000)
+                + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+                + bytes(10) + matrix + bytes(24) + struct.pack(">I", 2))
+    trak = box(b"trak", full(b"tkhd", 1, tkhd_body))
+    payload = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+        + box(b"moov", mvhd + trak)
+    )
+    m = parse_mp4(payload)
+    t = m["tracks"][0]
+    assert t["track_id"] == 42
+    assert (t["width"], t["height"]) == (800.0, 600.0)
+
+
+def test_mp3_mpeg2_frames():
+    """Hand-built MPEG-2 Layer III header (576 samples/frame, the
+    low-rate table): version bits 10, 24000 Hz @ 64 kbps →
+    frame = 72·64000/24000 = 192 bytes, 24 ms/frame."""
+    hdr = bytes([0xFF, 0xF3, 0x84, 0x00])
+    # version=2 (bits 10), layer III (01), no CRC; bitrate idx 8=64kbps,
+    # samplerate idx 1=24000
+    v, br, rate, ch, pad, fbytes, samples = parse_frame_header(hdr)
+    assert (v, br, rate, samples) == (2, 64, 24000, 576)
+    assert fbytes == 72 * 64 * 1000 // 24000
+    stream = (hdr + bytes(fbytes - 4)) * 3
+    m = parse_mp3(stream)
+    assert m["n_frames"] == 3 and m["sample_rate"] == 24000
+    assert m["duration_ms"] == round(1000 * 3 * 576 / 24000)  # 72 ms
+
+
+def test_mp3_mpeg25_frames():
+    """MPEG-2.5 (version bits 00): 8000 Hz @ 32 kbps, 576 samples."""
+    hdr = bytes([0xFF, 0xE3, 0x48, 0x00])
+    # version=0 (2.5), layer III; bitrate idx 4=40? — check table:
+    # MPEG-2 table idx 4 = 40 kbps; samplerate idx 2 = 8000
+    v, br, rate, ch, pad, fbytes, samples = parse_frame_header(hdr)
+    assert (v, rate, samples) == (0, 8000, 576)
+    assert fbytes == 72 * br * 1000 // 8000
+    stream = (hdr + bytes(fbytes - 4)) * 2
+    m = parse_mp3(stream)
+    assert m["n_frames"] == 2 and m["sample_rate"] == 8000
