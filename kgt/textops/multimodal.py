@@ -778,6 +778,14 @@ def _media_meta_one(doc_id: int, p: bytes) -> tuple:
             None,
             m["duration_ms"],
         )
+    if p[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from kgt.textops.tiff import parse_tiff
+
+        m = parse_tiff(p)
+        return (
+            doc_id, "image/tiff", nb, m["width"], m["height"],
+            m["n_pages"], None, None, None,
+        )
     if p[:3] == b"ID3" or (
         len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
     ):

@@ -356,3 +356,63 @@ def test_mp3_mpeg25_frames():
     stream = (hdr + bytes(fbytes - 4)) * 2
     m = parse_mp3(stream)
     assert m["n_frames"] == 2 and m["sample_rate"] == 8000
+
+
+class TestTiff:
+    def test_single_and_multi_page_both_endians(self):
+        from kgt.textops.tiff import encode_tiff_header, parse_tiff
+
+        for be in (False, True):
+            m = parse_tiff(
+                encode_tiff_header([(640, 480)], big_endian=be, bits=8,
+                                   samples=3, compression=5)
+            )
+            assert m["byte_order"] == ("big" if be else "little")
+            assert (m["width"], m["height"], m["n_pages"]) == (640, 480, 1)
+            assert m["compression"] == "lzw"
+        m = parse_tiff(
+            encode_tiff_header([(100, 50), (80, 40), (60, 30)])
+        )
+        assert m["n_pages"] == 3
+        assert (m["width"], m["height"]) == (100, 50)  # first IFD wins
+
+    def test_errors_and_stub(self):
+        import struct as _s
+
+        from kgt.textops.tiff import (
+            decode_pixels,
+            encode_tiff_header,
+            parse_tiff,
+        )
+
+        with pytest.raises(ValueError, match="byte-order"):
+            parse_tiff(b"XX\x2a\x00" + bytes(8))
+        p = encode_tiff_header([(10, 10)])
+        with pytest.raises(ValueError, match="truncated TIFF"):
+            parse_tiff(p[:-6])
+        # IFD chain loop must be detected, not spin forever
+        loop = bytearray(p)
+        loop[-4:] = _s.pack("<I", 8)  # last next-IFD pointer -> first IFD
+        with pytest.raises(ValueError, match="loops"):
+            parse_tiff(bytes(loop))
+        with pytest.raises(NotImplementedError, match="parse_tiff"):
+            decode_pixels(p)
+
+
+def test_media_metadata_routes_tiff(spark):
+    import pandas as pd
+
+    from kgt.textops.multimodal import media_metadata
+    from kgt.textops.tiff import encode_tiff_header
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "payload": [encode_tiff_header([(320, 240), (160, 120)])],
+            }
+        )
+    )
+    r = media_metadata(media).collect()[0]
+    assert r["media_type"] == "image/tiff"
+    assert (r["width"], r["height"], r["n_frames"]) == (320, 240, 2)
