@@ -58,7 +58,13 @@ def _read_size(payload: bytes, pos: int) -> tuple[int, int]:
             if pos + n > len(payload):
                 raise ValueError("truncated EBML size")
             raw = int.from_bytes(payload[pos : pos + n], "big")
-            return raw - ((0x80 >> (n - 1)) << (8 * (n - 1))), pos + n
+            val = raw - ((0x80 >> (n - 1)) << (8 * (n - 1)))
+            if val == (1 << (7 * n)) - 1:
+                # all VINT_DATA bits set = EBML "unknown size" (live/
+                # streamed muxers write the Segment this way); signal
+                # the caller to extend the element to its parent's end
+                return None, pos + n
+            return val, pos + n
     raise ValueError(f"invalid EBML size byte 0x{b0:02X} at offset {pos}")
 
 
@@ -69,6 +75,13 @@ def walk_ebml(payload: bytes, start: int, end: int):
     while pos < end:
         eid, pos = _read_id(payload, pos)
         size, pos = _read_size(payload, pos)
+        if size is None:
+            # unknown-size element: extends to the end of its parent
+            # (the spec's termination-by-next-sibling refinement only
+            # matters for mid-parent unknown sizes, which real muxers
+            # don't emit — they use it for the trailing Segment/Cluster)
+            yield eid, pos, end
+            return
         if pos + size > end:
             raise ValueError(
                 f"EBML element 0x{eid:X} overruns its parent at {pos}"

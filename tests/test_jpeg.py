@@ -427,3 +427,49 @@ def test_progressive_identity_fuzz():
         assert got == base
 
     check()
+
+
+def test_progressive_noninterleaved_dc_scan():
+    """'nc' mode emits one single-component DC scan per component over
+    its TRUE block grid (T.81 A.2.2). Regression for the decoder
+    iterating the MCU-padded grid instead: at 4:2:0 with a dim not a
+    multiple of 16 (20x20 → luma true grid 3x3 vs padded 4x4) the two
+    differ and decode used to consume units the encoder never wrote."""
+    for w, h in [(20, 20), (16, 16), (24, 8), (32, 32), (17, 11)]:
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        for ss in ("420", "422", "444"):
+            base = decode_jpeg(
+                encode_jpeg(w, h, px, quality=80, subsample=ss)
+            )
+            got = decode_jpeg(
+                encode_jpeg(
+                    w, h, px, quality=80, subsample=ss, progressive="nc"
+                )
+            )
+            assert got == base, (w, h, ss)
+    # grayscale single-component path too
+    pxg = bytes(range(20)) * 20
+    assert decode_jpeg(
+        encode_jpeg(20, 20, pxg, n_channels=1, progressive="nc")
+    ) == decode_jpeg(encode_jpeg(20, 20, pxg, n_channels=1))
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — in the header segment walk, before RSTn inside a scan,
+    and before the scan-terminating marker."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8).tobytes()
+    p = encode_jpeg(16, 16, px, quality=75)
+    base = decode_jpeg(p)
+    # fills at the end of the entropy stream, before EOI
+    assert p.endswith(b"\xff\xd9")
+    assert decode_jpeg(p[:-2] + b"\xff\xff\xff\xd9") == base
+    # fill between two header segments (before DQT)
+    i = p.index(b"\xff\xdb")
+    assert decode_jpeg(p[:i] + b"\xff" + p[i:]) == base
+    # fill before a restart marker mid-scan
+    pr = encode_jpeg(32, 16, bytes(32 * 16 * 3), restart_interval=1)
+    j = pr.index(b"\xff\xd0")
+    assert decode_jpeg(pr[:j] + b"\xff" + pr[j:]) == decode_jpeg(pr)

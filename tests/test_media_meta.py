@@ -416,3 +416,25 @@ def test_media_metadata_routes_tiff(spark):
     r = media_metadata(media).collect()[0]
     assert r["media_type"] == "image/tiff"
     assert (r["width"], r["height"], r["n_frames"]) == (320, 240, 2)
+
+
+def test_mkv_unknown_size_segment():
+    """Live/streamed muxers write the Segment with the EBML 'unknown
+    size' pattern (all VINT_DATA bits set); it extends to the end of
+    its parent. Regression: _read_size used to decode it as a huge
+    literal and walk_ebml raised 'overruns its parent'."""
+    from kgt.textops import mkv as M
+
+    p = M.encode_mkv(
+        2500,
+        [dict(type="audio", codec="A_OPUS", sample_rate=48000, channels=2)],
+    )
+    want = M.parse_mkv(p)
+    top = list(M.walk_ebml(p, 0, len(p)))
+    _, s, e = next(t for t in top if t[0] == M.SEGMENT)
+    body = p[s:e]
+    head = p[: p.index(M.SEGMENT.to_bytes(4, "big")) + 4]
+    # 1-byte (0xFF) and 8-byte (0x01FF..FF) unknown-size encodings
+    for size_bytes in (b"\xff", b"\x01" + b"\xff" * 7):
+        got = M.parse_mkv(head + size_bytes + body)
+        assert got == want, size_bytes
