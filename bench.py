@@ -31,7 +31,10 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    # bench_queries() = queries() + the per-variant slots consolidated
+    # into suite queries for the driver gate — keeps per-slot times
+    # comparable with earlier rounds' BENCH files
+    qs = entrymod.bench_queries()
     headline = [
         "kg_triples_orders",
         "kg_triples_bnodes",
@@ -150,6 +153,23 @@ def main():
     ).first()
     extra["simhash_quarantined_buckets"] = sim_cap["quarantined_buckets"]
     extra["simhash_quarantined_bucket_rows"] = sim_cap["quarantined_bucket_rows"]
+
+    # IVF cell-size audit for dedup_embedding (round-5 verdict): the
+    # distribution behind the intra-cell self-join — max cell size is
+    # the worst single-key join cost, quarantined_* what the cell_cap
+    # dropped (zero here; non-zero = the guard earning its keep)
+    from kgt.textops.similarity import embedding_cell_stats
+
+    cell_st = embedding_cell_stats(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_cells=16,
+        nprobe=2,
+        cell_cap=100_000,
+    ).first()
+    extra["ivf_cells_used"] = cell_st["cells_used"]
+    extra["ivf_max_cell_rows"] = cell_st["max_cell_rows"]
+    extra["ivf_quarantined_cells"] = cell_st["quarantined_cells"]
+    extra["ivf_quarantined_cell_rows"] = cell_st["quarantined_cell_rows"]
 
     # fuzzy-link blocking audit: candidate volume (df-bounded by the
     # gram cap), ratio vs linked surfaces, and blocking RECALL (linked

@@ -358,3 +358,42 @@ def streaming_near_dup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain_streaming_query(query, timeout_seconds: int = 600) -> bool:
+    """Stop a stateful streaming query once its source is exhausted.
+
+    With ProcessingTimeTimeout state, the micro-batch engine keeps
+    scheduling EMPTY batches to evaluate pending timeouts — even under
+    trigger(availableNow=True) — so such a query never terminates on
+    its own while any state holds a live TTL (observed: batch id
+    climbing forever at numInputRows=0). Every emission happens in the
+    batch that processes the data (timeouts only retire state), so the
+    sink is complete once a data batch has been followed by empty
+    batches: this waits for ≥1 progress report with input rows and
+    then 2 consecutive zero-input reports, stops the query, and awaits
+    termination. Returns True if drained, False on timeout (query is
+    stopped either way)."""
+    import time
+
+    t0 = time.time()
+    seen: set[int] = set()
+    data_seen = False
+    zero_streak = 0
+    drained = False
+    while time.time() - t0 < timeout_seconds and query.isActive:
+        p = query.lastProgress
+        if p is not None and p["batchId"] not in seen:
+            seen.add(p["batchId"])
+            if p["numInputRows"] > 0:
+                data_seen = True
+                zero_streak = 0
+            elif data_seen:
+                zero_streak += 1
+                if zero_streak >= 2:
+                    drained = True
+                    break
+        time.sleep(0.2)
+    query.stop()
+    query.awaitTermination(60)
+    return drained

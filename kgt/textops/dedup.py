@@ -664,11 +664,11 @@ def duplicated_spans(
     the paper's suffix-array pass removes.
 
     Every length-k character window of the normalized text is
-    fingerprinted (md5); a window is duplicated when its fingerprint
-    occurs more than once in the corpus (another document OR another
-    position of the same document). Returns per-doc
-    (doc_id, n_windows, n_dup_windows, dup_ratio) — the span-level
-    duplication profile a curation gate thresholds on.
+    fingerprinted (xxhash64 — an 8-byte long); a window is duplicated
+    when its fingerprint occurs more than once in the corpus (another
+    document OR another position of the same document). Returns
+    per-doc (doc_id, n_windows, n_dup_windows, dup_ratio) — the
+    span-level duplication profile a curation gate thresholds on.
 
     Scale shape: the window table is O(total characters) rows — that
     is the operator's contract (the distributed stand-in for a suffix
@@ -676,7 +676,13 @@ def duplicated_spans(
     and one shuffle join back. A boilerplate window only inflates a
     COUNT (never a self-join), so hot fingerprints cannot go
     quadratic. Windows are character-level on normalized text, so the
-    same span duplicates regardless of its tokenization.
+    same span duplicates regardless of its tokenization. The
+    fingerprint is the shuffle key of the biggest table in the engine,
+    so its width matters: xxhash64's 8-byte long carries ~4× fewer
+    shuffle bytes than a 32-char md5 hex string (round-5 verdict). An
+    xxhash64 collision (~N²/2⁶⁴) overcounts one window — the oracle
+    groups by the RAW window text, so a collision at test scale would
+    hash-fail loudly rather than pass silently.
     """
     norm = normalize_text(F.col(text_col))
     base = docs.select(
@@ -687,7 +693,7 @@ def duplicated_spans(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("x") - (k - 1)),
-                lambda i: F.md5(F.substr(F.col("x"), i, F.lit(k))),
+                lambda i: F.xxhash64(F.substr(F.col("x"), i, F.lit(k))),
             )
         ).alias("h"),
     )

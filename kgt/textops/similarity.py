@@ -379,15 +379,84 @@ def ivf_topk(
     )
 
 
+def auto_n_cells(n_vectors: int, floor: int = 16, ceiling: int = 65536) -> int:
+    """The IVF cell-count rule used when callers don't dial n_cells:
+    ≈ √N (the standard IVF sizing — keeps E[|cell|] ≈ √N, so the
+    intra-cell self-join does O(N·√N) work instead of O(N²)), clamped
+    to [floor, ceiling]. Deterministic in N only."""
+    import math
+
+    return max(floor, min(ceiling, int(math.isqrt(max(n_vectors, 1)))))
+
+
+def _probe_assignments(
+    embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign
+):
+    """(vid, v, vn, cid) multi-probe assignment table shared by
+    embedding_near_pairs and embedding_cell_stats — one row per
+    (vector, probed cell). n_cells=None → auto_n_cells(count)."""
+    if centroids is None:
+        if n_cells is None:
+            n_cells = auto_n_cells(embeddings.count())
+        centroids = seed_centroids(embeddings, n_cells, id_col, vec_col)
+    if assign == "auto":
+        assign = "literal" if len(centroids) <= 256 else "join"
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    if assign == "literal":
+        return e.withColumn(
+            "cid",
+            F.explode(F.slice(_cell_ranking(F.col("v"), centroids), 1, nprobe)),
+        )
+    return _rank_cells_join(e, "vid", "v", "vn", centroids, nprobe)
+
+
+def embedding_cell_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = 16,
+    nprobe: int = 2,
+    cell_cap: int = 100_000,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "auto",
+) -> DataFrame:
+    """One-row audit of the IVF cell distribution feeding
+    embedding_near_pairs: (cells_used, max_cell_rows,
+    quarantined_cells, quarantined_cell_rows). The explicit
+    NO-SILENT-CAPS counterpart of ``simhash_bucket_stats`` — at 100 TB
+    a clustered real-embedding corpus can put O(N) vectors in one
+    Voronoi cell, and this row is how you see the cap working instead
+    of discovering the skew as a straggler task."""
+    e = _probe_assignments(
+        embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign
+    )
+    per_cell = e.groupBy("cid").agg(F.count("*").alias("n"))
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("cells_used"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_cell_rows"),
+        F.coalesce(
+            F.sum((F.col("n") > cell_cap).cast("long")), F.lit(0)
+        ).alias("quarantined_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > cell_cap, F.col("n")).otherwise(0)),
+            F.lit(0),
+        ).alias("quarantined_cell_rows"),
+    )
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
     assign: str = "auto",
+    cell_cap: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
     vec_a < vec_b and rounded cosine ≥ threshold.
@@ -400,22 +469,26 @@ def embedding_near_pairs(
     recall/cost dial is (n_cells, nprobe); the brute-force truth is the
     same join with one cell. Assignment strategy as in ivf_topk
     (literal centroids under the crossover, broadcast join above).
-    """
-    if centroids is None:
-        centroids = seed_centroids(embeddings, n_cells, id_col, vec_col)
-    if assign == "auto":
-        assign = "literal" if len(centroids) <= 256 else "join"
 
-    e = embeddings.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
-    if assign == "literal":
-        e = e.withColumn(
-            "cid",
-            F.explode(F.slice(_cell_ranking(F.col("v"), centroids), 1, nprobe)),
-        )
-    else:
-        e = _rank_cells_join(e, "vid", "v", "vn", centroids, nprobe)
+    Skew guards, because real embedding corpora cluster: cells with
+    more than ``cell_cap`` probe rows are QUARANTINED from the
+    self-join (one groupBy + broadcast anti-join — the simhash
+    ``bucket_cap`` pattern; a hot Voronoi cell would otherwise
+    degrade the equi-join to O(|cell|²) on one key), and
+    ``embedding_cell_stats`` reports exactly what the cap dropped —
+    NO SILENT CAPS. ``n_cells=None`` scales the quantizer to the
+    corpus (auto_n_cells ≈ √N) instead of a fixed 16.
+    """
+    e = _probe_assignments(
+        embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign
+    )
+    big = (
+        e.groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cell_cap)
+        .select("cid")
+    )
+    e = e.join(F.broadcast(big), "cid", "left_anti")
     a = e.alias("a")
     b = e.alias("b")
     sim = F.round(

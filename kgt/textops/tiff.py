@@ -1,13 +1,17 @@
-"""From-scratch TIFF (baseline 6.0) IFD METADATA parser — pure stdlib.
+"""From-scratch TIFF (baseline 6.0) parser — pure stdlib.
 
-Scope, stated honestly: walks the image file directory — byte-order
-header (II/MM + magic 42), IFD entry table (tag/type/count/value with
-inline-vs-offset resolution for the numeric types) — extracting dims,
-bits per sample, samples per pixel, compression and page count (IFD
-chain).  Strip/tile pixel data is NOT decoded (LZW/PackBits/JPEG-in-
-TIFF payloads stay out of scope; ``decode_pixels`` raises the usual
-env-gated NotImplementedError).  ``encode_tiff_header`` writes a
-minimal valid single- or multi-page fixture.
+Metadata: walks the image file directory — byte-order header (II/MM +
+magic 42), IFD entry table (tag/type/count/value with inline-vs-offset
+resolution for the numeric types) — extracting dims, bits per sample,
+samples per pixel, compression and page count (IFD chain).
+
+Pixels (round 6): ``decode_pixels`` decodes the strip data of the two
+baseline tiers every real corpus contains — compression 1
+(uncompressed) and 32773 (PackBits, TIFF 6.0 §9) — for 8-bit samples,
+both byte orders, multi-strip via RowsPerStrip.  ``encode_tiff``
+writes the matching real file (strip layout + external value areas).
+The codec tiers no sandbox should hand-roll (LZW, JPEG-in-TIFF,
+deflate) still raise NotImplementedError naming the gap.
 """
 
 from __future__ import annotations
@@ -20,7 +24,10 @@ TAG_WIDTH = 256
 TAG_HEIGHT = 257
 TAG_BITS = 258
 TAG_COMPRESSION = 259
+TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
 
 _COMPRESSION_NAMES = {
     1: "none", 2: "ccitt-rle", 5: "lzw", 6: "jpeg-old", 7: "jpeg",
@@ -137,12 +144,246 @@ def encode_tiff_header(
     return bytes(out)
 
 
-def decode_pixels(payload: bytes):
-    """TIFF strip/tile decode (LZW/PackBits/JPEG-in-TIFF) is out of
-    scope; raises NotImplementedError naming the gap — use parse_tiff
-    for the metadata surface."""
-    raise NotImplementedError(
-        "TIFF pixel decode is not implemented (IFD metadata parsing is "
-        "— use parse_tiff); strip/tile codecs are out of scope for this "
-        "engine"
+def _read_value_list(payload, endian, etype, count, raw):
+    """All numeric values of an IFD entry as a list (inline when they
+    fit the 4-byte field, else at the pointed offset)."""
+    size = _TYPE_SIZES.get(etype)
+    if size is None or etype not in (1, 3, 4):
+        return None
+    total = size * count
+    if total <= 4:
+        data = raw[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", raw)
+        data = payload[off : off + total]
+        if len(data) != total:
+            raise ValueError("TIFF value offset out of bounds")
+    if etype == 3:
+        return list(struct.unpack(endian + "H" * count, data))
+    if etype == 4:
+        return list(struct.unpack(endian + "I" * count, data))
+    return list(data)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): control byte n — 0..127 copies
+    n+1 literals, 129..255 repeats the next byte 257-n times, 128 is a
+    no-op. Decodes exactly ``expected`` bytes or raises."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            lit = data[i : i + n + 1]
+            if len(lit) != n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += lit
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (repeat packets for runs ≥ 3, literal packets
+    otherwise, 128-byte packet cap) — the round-trip partner of
+    packbits_decode for fixtures and the encode_tiff strip writer."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal: scan until a run of >=3 starts (or 128-byte cap)
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _header_endian(payload: bytes) -> str:
+    if payload[:4] == b"II\x2a\x00":
+        return "<"
+    if payload[:4] == b"MM\x00\x2a":
+        return ">"
+    raise ValueError("not a TIFF (bad byte-order/magic header)")
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """TIFF → (width, height, samples_per_pixel, pixel bytes
+    row-major, sample-interleaved) for the baseline strip tiers:
+    compression 1 (uncompressed) and 32773 (PackBits), 8-bit samples,
+    either byte order, multi-strip.  LZW / JPEG-in-TIFF / deflate
+    strips raise NotImplementedError naming the gap; malformed strip
+    geometry raises ValueError."""
+    endian = _header_endian(payload)
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("truncated TIFF IFD entry table")
+    entries: dict[int, list[int] | None] = {}
+    for i in range(n_entries):
+        e = payload[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * i + 12]
+        tag, etype, count = struct.unpack(endian + "HHI", e[:8])
+        entries[tag] = _read_value_list(payload, endian, etype, count, e[8:])
+
+    def one(tag, default=None):
+        v = entries.get(tag)
+        return v[0] if v else default
+
+    w, h = one(TAG_WIDTH), one(TAG_HEIGHT)
+    if not w or not h:
+        raise ValueError("TIFF first IFD lacks ImageWidth/ImageLength")
+    bits = one(TAG_BITS, 1)
+    samples = one(TAG_SAMPLES, 1)
+    comp = one(TAG_COMPRESSION, 1)
+    if comp not in (1, 32773):
+        name = _COMPRESSION_NAMES.get(comp, str(comp))
+        raise NotImplementedError(
+            f"TIFF strip decode supports compression none/packbits; "
+            f"this file uses {name} (strip codec out of scope)"
+        )
+    if bits != 8:
+        raise NotImplementedError(
+            f"TIFF strip decode supports 8 bits per sample, got {bits}"
+        )
+    offsets = entries.get(TAG_STRIP_OFFSETS)
+    counts = entries.get(TAG_STRIP_BYTE_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
+    rows_per_strip = one(TAG_ROWS_PER_STRIP, h)
+    if -(-h // rows_per_strip) != len(offsets):
+        raise ValueError(
+            f"TIFF strip count {len(offsets)} does not cover "
+            f"{h} rows at {rows_per_strip} rows/strip"
+        )
+    row_bytes = w * samples
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = rows * row_bytes
+        data = payload[off : off + cnt]
+        if len(data) != cnt:
+            raise ValueError("TIFF strip data out of bounds")
+        if comp == 1:
+            if len(data) != expected:
+                raise ValueError(
+                    f"TIFF uncompressed strip holds {len(data)} bytes, "
+                    f"expected {expected}"
+                )
+            out += data
+        else:
+            out += packbits_decode(data, expected)
+    return w, h, samples, bytes(out)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    samples: int = 3,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Real single-page TIFF with strip data — the round-trip partner
+    of decode_pixels. compression 1 (none) or 32773 (PackBits);
+    multi-strip when rows_per_strip < height; external value areas for
+    the strip offset/count arrays when they outgrow the inline field."""
+    if compression not in (1, 32773):
+        raise ValueError("encode_tiff supports compression 1 or 32773")
+    if len(pixels) != width * height * samples:
+        raise ValueError("pixel buffer does not match dims")
+    if rows_per_strip is None:
+        rows_per_strip = height
+    endian = ">" if big_endian else "<"
+    row_bytes = width * samples
+    strips = []
+    for r0 in range(0, height, rows_per_strip):
+        raw = pixels[r0 * row_bytes : (r0 + rows_per_strip) * row_bytes]
+        strips.append(raw if compression == 1 else packbits_encode(raw))
+    n_strips = len(strips)
+
+    entries = [  # (tag, etype, count) — values resolved below
+        (TAG_WIDTH, 4, 1, [width]),
+        (TAG_HEIGHT, 4, 1, [height]),
+        (TAG_BITS, 3, 1, [8]),
+        (TAG_COMPRESSION, 3, 1, [compression]),
+        (TAG_STRIP_OFFSETS, 4, n_strips, None),  # patched below
+        (TAG_SAMPLES, 3, 1, [samples]),
+        (TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
+        (TAG_STRIP_BYTE_COUNTS, 4, n_strips, [len(s) for s in strips]),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size  # external value area
+    ext = bytearray()
+
+    def field(etype, count, values):
+        """Inline value field or (ext-area append + offset field)."""
+        nonlocal ext
+        fmt = "H" if etype == 3 else "I"
+        raw = struct.pack(endian + fmt * count, *values)
+        if len(raw) <= 4:
+            return raw + bytes(4 - len(raw))
+        off = ext_off + len(ext)
+        ext += raw
+        return struct.pack(endian + "I", off)
+
+    # two passes: sizes of external arrays are knowable up front, so
+    # compute where strip data starts, then resolve offsets
+    ext_bytes = sum(
+        4 * count
+        for _tag, etype, count, _v in entries
+        if ("H" if etype == 3 else "I") == "I" and 4 * count > 4
+    ) + sum(
+        2 * count
+        for _tag, etype, count, _v in entries
+        if etype == 3 and 2 * count > 4
     )
+    data_off = ext_off + ext_bytes
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    out = bytearray(
+        (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+        + struct.pack(endian + "I", ifd_off)
+    )
+    out += struct.pack(endian + "H", len(entries))
+    for tag, etype, count, values in entries:
+        if tag == TAG_STRIP_OFFSETS:
+            values = strip_offsets
+        out += struct.pack(endian + "HHI", tag, etype, count)
+        out += field(etype, count, values)
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -49,14 +49,16 @@ ARROW_OK = {
 }
 # brute-force ANN intentionally broadcast-NL-joins the tiny query set
 CARTESIAN_OK = {
-    "sim_topk",
-    # IVF assign='join': every vector scores against the BROADCAST
-    # centroid table (a few KB) — a broadcast NL join by construction,
-    # the scale-safe alternative to the O(n_cells) literal expression
-    "sim_topk_ivf_join",
-    # the corpus word total N is a ONE-ROW broadcast (the standard
-    # scalar-broadcast pattern) — constant cost at any scale
-    "doc_unigram_logprob",
+    # suite query containing the brute-force variant AND the IVF
+    # assign='join' variant: every vector scores against a BROADCAST
+    # table (queries / centroids, a few KB) — broadcast NL joins by
+    # construction, the scale-safe alternative to the O(n_cells)
+    # literal expression
+    "sim_topk_suite",
+    # the corpus word total N in the unigram-logprob signal is a
+    # ONE-ROW broadcast (the standard scalar-broadcast pattern) —
+    # constant cost at any scale
+    "doc_signals",
 }
 
 

@@ -395,8 +395,69 @@ class TestTiff:
         loop[-4:] = _s.pack("<I", 8)  # last next-IFD pointer -> first IFD
         with pytest.raises(ValueError, match="loops"):
             parse_tiff(bytes(loop))
-        with pytest.raises(NotImplementedError, match="parse_tiff"):
+        # header-only fixture has no strip tags → strip decode refuses
+        with pytest.raises(ValueError, match="strip offsets"):
             decode_pixels(p)
+        # unsupported strip codecs still raise the honest gap
+        lzw = encode_tiff_header([(10, 10)], compression=5)
+        with pytest.raises(NotImplementedError, match="lzw"):
+            decode_pixels(lzw)
+
+    def test_strip_decode_roundtrip(self):
+        """Round-6 real tier: uncompressed + PackBits strips, both
+        endians, multi-strip with a ragged last strip, gray + RGB."""
+        import random
+
+        from kgt.textops.tiff import decode_pixels, encode_tiff, parse_tiff
+
+        rng = random.Random(11)
+        for w, h, s in [(1, 1, 1), (7, 5, 3), (33, 9, 1), (40, 23, 3)]:
+            px = bytes(rng.randrange(256) for _ in range(w * h * s))
+            for comp in (1, 32773):
+                for rps in (None, 4):
+                    for be in (False, True):
+                        p = encode_tiff(
+                            w, h, px, samples=s, compression=comp,
+                            rows_per_strip=rps, big_endian=be,
+                        )
+                        m = parse_tiff(p)
+                        assert m["compression"] == (
+                            "none" if comp == 1 else "packbits"
+                        )
+                        assert decode_pixels(p) == (w, h, s, px), (
+                            w, h, s, comp, rps, be,
+                        )
+
+    def test_packbits_runs_and_errors(self):
+        from kgt.textops.tiff import (
+            decode_pixels,
+            encode_tiff,
+            packbits_decode,
+            packbits_encode,
+        )
+
+        # long runs compress to repeat packets; round-trip exact
+        for data in (
+            bytes([7]) * 1000,
+            bytes([1, 2, 3]) + bytes([9]) * 200 + bytes([4, 4]),
+            bytes(range(256)) * 2,
+            b"",
+        ):
+            enc = packbits_encode(data)
+            assert packbits_decode(enc, len(data)) == data
+        assert len(packbits_encode(bytes([7]) * 1000)) <= 16
+        # truncated repeat run / wrong expected length raise
+        with pytest.raises(ValueError, match="truncated PackBits"):
+            packbits_decode(bytes([0xFE]), 3)
+        with pytest.raises(ValueError, match="expected"):
+            packbits_decode(packbits_encode(b"abc"), 5)
+        # corrupt strip byte-counts surface as errors, not garbage
+        p = bytearray(encode_tiff(4, 4, bytes(48), compression=1))
+        p[-1] ^= 0xFF  # clobber last strip byte (harmless to length)
+        good = encode_tiff(4, 4, bytes(48), compression=1)
+        truncated = good[:-5]
+        with pytest.raises(ValueError):
+            decode_pixels(truncated)
 
 
 def test_media_metadata_routes_tiff(spark):

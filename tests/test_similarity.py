@@ -193,3 +193,80 @@ def test_train_centroids_det_reproducible_and_improves_partition(emb, queries):
         ivf_topk(emb, queries, k=5, nprobe=2, centroids=c1), exact
     )
     assert r_trained >= 0.8
+
+
+def test_embedding_cell_cap_quarantines_hot_cell(spark):
+    """Skew guard (round-5 verdict): a degenerate Voronoi cell (many
+    near-identical vectors) must be quarantined from the self-join when
+    it exceeds cell_cap, the audit must report exactly what was
+    dropped, and an uncapped run must still find the pairs — the cap is
+    the only difference."""
+    from kgt.textops.similarity import (
+        embedding_cell_stats,
+        embedding_near_pairs,
+    )
+
+    # seed centroids are the 4 LOWEST-id vectors — make them distinct
+    # axes, then park a 30-clone clique in the cid-3 cell (its second
+    # probe tie-breaks into cid 0, so two cells run hot) and one
+    # near-dup pair in the untouched cid-1/cid-2 cells
+    seeds = [
+        (0, [0.0, 1.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 1.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    pair = [(4, [0.0, 0.0, 1.0, 0.05]), (5, [0.0, 0.0, 1.0, 0.055])]
+    clones = [(100 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    corpus = spark.createDataFrame(
+        seeds + pair + clones, "vec_id long, embedding array<double>"
+    )
+
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_pairs(
+            corpus, threshold=0.9, n_cells=4, nprobe=2, cell_cap=10**6
+        ).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_pairs(
+            corpus, threshold=0.9, n_cells=4, nprobe=2, cell_cap=20
+        ).collect()
+    }
+    clique = {p for p in uncapped if p[0] >= 100 and p[1] >= 100}
+    assert len(clique) == 30 * 29 // 2  # uncapped finds the clique
+    assert clique.isdisjoint(capped)  # capped drops the hot cells...
+    assert (4, 5) in capped  # ...but keeps cold-cell pairs
+
+    st = embedding_cell_stats(
+        corpus, n_cells=4, nprobe=2, cell_cap=20
+    ).collect()[0]
+    assert st["quarantined_cells"] == 2  # cid 3 + the tie-break cid 0
+    assert st["quarantined_cell_rows"] >= 60
+    assert st["max_cell_rows"] >= 30
+    st0 = embedding_cell_stats(
+        corpus, n_cells=4, nprobe=2, cell_cap=10**6
+    ).collect()[0]
+    assert st0["quarantined_cells"] == 0 and st0["quarantined_cell_rows"] == 0
+
+
+def test_auto_n_cells_scales_with_corpus(spark):
+    """n_cells=None sizes the quantizer to the corpus (≈ √N, clamped)
+    instead of a fixed 16 — the 100×-scale-up rule the round-5 verdict
+    asked for."""
+    from kgt.textops.similarity import auto_n_cells, embedding_near_pairs
+
+    assert auto_n_cells(0) == 16
+    assert auto_n_cells(256) == 16
+    assert auto_n_cells(10_000) == 100
+    assert auto_n_cells(1_000_000) == 1000
+    assert auto_n_cells(10**10) == 65536  # ceiling
+    # n_cells=None is exercised end-to-end and equals the explicit rule
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = embedding_near_pairs(corpus, threshold=0.99, n_cells=None)
+    explicit = embedding_near_pairs(corpus, threshold=0.99, n_cells=16)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
