@@ -62,6 +62,9 @@ def main():
         "multimodal_jpeg_real",
         "multimodal_media_meta",
         "multimodal_frames",
+        # round 6: the streaming family's driver gate (stateful LSH
+        # near-dup replay, availableNow + drain) timed end-to-end
+        "streaming_near_dup",
     ]
 
     # warm the JVM/Arrow paths once with a tiny action
