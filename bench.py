@@ -165,7 +165,7 @@ def main():
 
     cell_st = embedding_cell_stats(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        n_cells=16,
+        n_cells=None,  # the auto ≈√N rule dedup_embedding runs under
         nprobe=2,
         cell_cap=100_000,
     ).first()

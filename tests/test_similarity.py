@@ -270,3 +270,29 @@ def test_auto_n_cells_scales_with_corpus(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_auto_n_cells_sql_parity():
+    """The dedup_embedding oracle computes the auto cell count as
+    FLOOR(SQRT(n)) in DuckDB while Spark uses Python isqrt — sweep the
+    equivalence over the magnitudes a corpus count can take (doubles
+    represent these n exactly; sqrt of a representable perfect square
+    is exact, so floor agrees)."""
+    import math
+
+    import duckdb
+
+    from kgt.textops.similarity import auto_n_cells
+
+    con = duckdb.connect()
+    ns = list(range(1, 3000, 13)) + [
+        10**6, 10**6 + 1, 10**8, 10**10, 4 * 10**12,
+        622, 8500, 96**2, 96**2 - 1, 96**2 + 1,
+    ]
+    for n in ns:
+        sql = con.execute(
+            f"SELECT GREATEST(16, LEAST(65536, "
+            f"CAST(FLOOR(SQRT({n})) AS BIGINT)))"
+        ).fetchone()[0]
+        assert sql == auto_n_cells(n), n
+        assert auto_n_cells(n) == max(16, min(65536, math.isqrt(n)))
