@@ -415,7 +415,7 @@ def test_progressive_identity_fuzz():
         seed=st.integers(0, 2**31 - 1),
         q=st.sampled_from([40, 75, 92]),
         ss=st.sampled_from(["444", "420", "422"]),
-        mode=st.sampled_from(["ss", "sa"]),
+        mode=st.sampled_from(["ss", "sa", "nc"]),
     )
     def check(w, h, seed, q, ss, mode):
         rng = np.random.RandomState(seed)

@@ -499,3 +499,46 @@ def test_mkv_unknown_size_segment():
     for size_bytes in (b"\xff", b"\x01" + b"\xff" * 7):
         got = M.parse_mkv(head + size_bytes + body)
         assert got == want, size_bytes
+
+
+def test_tiff_packbits_property_fuzz():
+    """Hypothesis sweep of the TIFF strip codec: random dims, sample
+    counts, strip heights, compressions and byte orders must round-trip
+    pixel-exact, and PackBits must round-trip arbitrary byte strings."""
+    from hypothesis import given, settings, strategies as st
+
+    from kgt.textops.tiff import (
+        decode_pixels,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        s=st.sampled_from([1, 3]),
+        comp=st.sampled_from([1, 32773]),
+        rps=st.one_of(st.none(), st.integers(1, 16)),
+        be=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_tiff(w, h, s, comp, rps, be, seed):
+        import random
+
+        px = bytes(random.Random(seed).randrange(256) for _ in range(w * h * s))
+        p = encode_tiff(
+            w, h, px, samples=s, compression=comp, rows_per_strip=rps,
+            big_endian=be,
+        )
+        assert decode_pixels(p) == (w, h, s, px)
+
+    check_tiff()
+
+    @settings(max_examples=50, deadline=None)
+    @given(data=st.binary(max_size=600))
+    def check_pb(data):
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+    check_pb()
