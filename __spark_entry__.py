@@ -1739,27 +1739,14 @@ def _q_sim_topk_suite(spark, sf_dir):
 
 
 def _q_doc_signals(spark, sf_dir):
-    """All five text-analysis operators computed per document and
-    joined on doc_id into one signal table — the shape a curation
-    pipeline actually materializes (one row per doc, every signal a
-    column), and one driver slot hash-gates every value: unigram-LM
-    logprob, language ID, token counts, quality ratios, fingerprints."""
-    from kgt.textops.quality import (
-        fingerprint,
-        language_id,
-        quality_score,
-        token_count,
-        unigram_logprob,
-    )
+    """All five text-analysis operators as one per-doc signal table —
+    quality.doc_signals: the four per-row families run as ONE fused
+    zero-shuffle projection (not four shuffle joins), plus the
+    corpus-trained unigram-LM join whose count shuffle is inherent.
+    One driver slot hash-gates every signal value."""
+    from kgt.textops.quality import doc_signals
 
-    docs = _read(spark, sf_dir, "documents")
-    return (
-        unigram_logprob(docs)
-        .join(language_id(docs), "doc_id")
-        .join(token_count(docs), "doc_id")
-        .join(quality_score(docs), "doc_id")
-        .join(fingerprint(docs), "doc_id")
-    )
+    return doc_signals(_read(spark, sf_dir, "documents"))
 
 
 def _q_streaming_near_dup(spark, sf_dir):

@@ -475,7 +475,7 @@ RESIZE_SCHEMA = (
 
 
 def resize_pixels(payload: bytes, max_side: int) -> bytes:
-    """REAL resize for PNG and baseline-JPEG payloads: decode →
+    """REAL resize for PNG, baseline-JPEG and TIFF payloads: decode →
     nearest-neighbor resample (longest-side cap, same integer formula
     as :func:`resize`, numpy fancy-indexed — no per-pixel Python) →
     PNG re-encode. Nearest-neighbor index i maps to source
@@ -488,6 +488,10 @@ def resize_pixels(payload: bytes, max_side: int) -> bytes:
         from kgt.textops.jpeg import decode_jpeg
 
         w, h, ch, px = decode_jpeg(payload)
+    elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from kgt.textops.tiff import decode_pixels as _decode_tiff
+
+        w, h, ch, px = _decode_tiff(payload)
     else:
         w, h, ch, px = decode_png(payload)
     longest = max(w, h)

@@ -38,9 +38,9 @@ def _occurrences(padded, word):
     ).cast("long")
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: argmax of marker-word counts, 'und' when
-    all zero. Ties break by language code order (deterministic)."""
+def _language_cols(text_col: str) -> list:
+    """language_id's aliased signal expressions (fusable — see
+    doc_signals)."""
     padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
     scores = {
         lang: sum(
@@ -57,10 +57,17 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             for lang in sorted(LANG_MARKERS)
         ]
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         F.when(max_score > 0, lang).otherwise(F.lit("und")).alias("lang_pred"),
         max_score.alias("marker_hits"),
+    ]
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word counts, 'und' when
+    all zero. Ties break by language code order (deterministic)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *_language_cols(text_col)
     )
 
 
@@ -70,15 +77,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish regex token count (letter/digit
-    runs + punctuation glyphs) + the ceil(chars/4) subword proxy +
-    char count — the standard budget measures."""
+def _token_cols(text_col: str) -> list:
+    """token_count's aliased signal expressions (fusable)."""
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_chars = F.length(t)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         F.when(F.length(F.trim(t)) == 0, F.lit(0))
         .otherwise(ws_tokens)
         .alias("ws_tokens"),
@@ -87,13 +91,18 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ),
         F.ceil(n_chars / 4).cast("long").alias("bpe_tokens_est"),
         n_chars.alias("n_chars"),
-    )
+    ]
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + a composite score in [0,1]:
-    length band, alpha ratio, punctuation density, stopword presence.
-    All ratios rounded to 6dp so oracle comparison is exact."""
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letter/digit
+    runs + punctuation glyphs) + the ceil(chars/4) subword proxy +
+    char count — the standard budget measures."""
+    return docs.select(F.col(id_col).alias("doc_id"), *_token_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list:
+    """quality_score's aliased signal expressions (fusable)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -115,20 +124,25 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     score = F.round(
         (alpha_ratio + F.least(stop_ratio * 5, F.lit(1.0)) + len_band) / 3, 6
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         alpha_ratio.alias("alpha_ratio"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
+    ]
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, alpha ratio, punctuation density, stopword presence.
+    All ratios rounded to 6dp so oracle comparison is exact."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *_quality_cols(text_col)
     )
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Document fingerprint: md5 of the normalized text plus a rolling
-    winnowing-style proxy (min md5 over normalized 8-word windows) for
-    shift-tolerant matching. md5 (not xxhash64) keeps the operator
-    SQL-oracle-reproducible; at 100 TB swap the hash, keep the wiring."""
+def _fingerprint_cols(text_col: str) -> list:
+    """fingerprint's aliased signal expressions (fusable)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     windows = F.when(
@@ -138,10 +152,19 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 8))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         F.md5(normalize_text(F.col(text_col))).alias("fp_exact"),
         F.array_min(windows).alias("fp_rolling_min"),
+    ]
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text plus a rolling
+    winnowing-style proxy (min md5 over normalized 8-word windows) for
+    shift-tolerant matching. md5 (not xxhash64) keeps the operator
+    SQL-oracle-reproducible; at 100 TB swap the hash, keep the wiring."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *_fingerprint_cols(text_col)
     )
 
 
@@ -189,3 +212,30 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def doc_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All five text-analysis signal families as ONE per-document
+    table — the shape a curation pipeline actually materializes
+    (doc_id, n_words, avg_logprob, lang_pred, marker_hits, ws_tokens,
+    re_tokens, bpe_tokens_est, n_chars, alpha_ratio, punct_ratio,
+    stop_ratio, quality, fp_exact, fp_rolling_min).
+
+    Scale shape: the four PER-ROW families (language ID, token
+    counts, quality ratios, fingerprints) are computed in one FUSED
+    projection over a single scan — zero shuffles, one whole-stage-
+    codegen span — then joined once with the corpus-trained unigram
+    LM scores, whose vocabulary-count shuffle is inherent. Joining
+    the five standalone operator outputs instead would shuffle the
+    full document table four extra times for a result every column
+    of which is derivable from one pass."""
+    per_row = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *_language_cols(text_col),
+        *_token_cols(text_col),
+        *_quality_cols(text_col),
+        *_fingerprint_cols(text_col),
+    )
+    return unigram_logprob(docs, id_col, text_col).join(per_row, "doc_id")

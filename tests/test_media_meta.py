@@ -542,3 +542,25 @@ def test_tiff_packbits_property_fuzz():
         assert packbits_decode(packbits_encode(data), len(data)) == data
 
     check_pb()
+
+
+def test_resize_pixels_tiff_input():
+    """resize_pixels accepts TIFF payloads (both compressions) and
+    resamples identically to the same pixels fed through PNG."""
+    import random
+
+    from kgt.textops.multimodal import encode_png, resize_pixels
+    from kgt.textops.tiff import encode_tiff
+
+    rng = random.Random(3)
+    w, h = 33, 21
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    via_png = resize_pixels(encode_png(w, h, px, color_type=2), 16)
+    for comp in (1, 32773):
+        via_tiff = resize_pixels(
+            encode_tiff(w, h, px, compression=comp, rows_per_strip=5), 16
+        )
+        assert via_tiff == via_png
+    # under the cap: payload returned unchanged
+    small = encode_tiff(8, 8, bytes(192), compression=1)
+    assert resize_pixels(small, 16) == small

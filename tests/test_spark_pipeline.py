@@ -476,3 +476,55 @@ def test_token_count_bpe_regex(spark):
     assert got[2]["re_tokens"] == 0 and got[2]["ws_tokens"] == 0
     # a - b _ c → 5 (underscore is a glyph token)
     assert got[3]["re_tokens"] == 5
+
+
+def test_doc_signals_fused_projection(spark):
+    """quality.doc_signals must equal the five standalone operators
+    joined on doc_id — and do it with the 100-TB plan: the four
+    per-row signal families fused into ONE projection, so the only
+    exchanges in the whole plan are the unigram-LM core's (vocabulary
+    count + occurrence join + per-doc agg + final join), never extra
+    shuffles for language/token/quality/fingerprint columns."""
+    from kgt.textops.quality import (
+        doc_signals,
+        fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "der schnelle braune Fuchs, und der faule Hund!"),
+            (3, "x " * 40),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    fused = doc_signals(docs)
+    joined = (
+        unigram_logprob(docs)
+        .join(language_id(docs), "doc_id")
+        .join(token_count(docs), "doc_id")
+        .join(quality_score(docs), "doc_id")
+        .join(fingerprint(docs), "doc_id")
+    )
+    assert sorted(fused.columns) == sorted(joined.columns)
+    cols = sorted(fused.columns)
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+    assert rows(fused) == rows(joined)
+    # plan shape: exchanges only from the unigram core + one join —
+    # strictly fewer than the join-of-five plan
+    import re
+
+    nex = lambda df: len(  # noqa: E731
+        re.findall(
+            r"\bExchange\b",
+            df._jdf.queryExecution().executedPlan().toString(),
+        )
+    )
+    assert nex(fused) < nex(joined)
