@@ -38,3 +38,62 @@ def test_turtle_detected(sample):
 )
 def test_others_rejected(sample):
     assert not detect(sample)
+
+
+class TestFormatRegistry:
+    """RDF::Format.for dispatch surface (format.rb:17-33 registration +
+    rdf core lookup semantics), closing the r5 verdict's 'registry
+    dispatch' deviation: lookup by file name / bare extension /
+    content type (q-weighted aliases included) / content sample, with
+    N-Triples-vs-Turtle sample disambiguation."""
+
+    def test_lookup_by_name_extension_and_type(self):
+        from kgt.turtle.format import for_
+
+        assert for_("etc/foaf.ttl").name == "turtle"
+        assert for_("dump.nt").name == "ntriples"
+        assert for_("ttl").name == "turtle"
+        assert for_(file_extension=".nt").name == "ntriples"
+        for ct in (
+            "text/turtle",
+            "text/rdf+turtle",
+            "application/turtle",
+            "application/x-turtle;q=0.2",
+        ):
+            assert for_(content_type=ct).name == "turtle", ct
+        assert for_(content_type="application/n-triples").name == "ntriples"
+        assert for_("data.json") is None
+        assert for_(content_type="application/ld+json") is None
+
+    def test_lookup_by_sample(self):
+        from kgt.turtle.format import for_
+
+        nt = '<urn:s> <urn:p> "o" .\n<urn:s> <urn:q> <urn:o> .'
+        assert for_(sample=nt).name == "ntriples"
+        ttl = "@prefix p: <urn:p:> .\np:s p:a p:b ;\n  p:c p:d ."
+        assert for_(sample=ttl).name == "turtle"
+        # abbreviated syntax is Turtle even when IRIs dominate
+        semi = '<urn:s> <urn:p> "o" ;\n  <urn:q> <urn:r> .'
+        assert for_(sample=semi).name == "turtle"
+        assert for_(sample='{"@context": {"a": 1}}') is None
+
+    def test_registry_mappings_and_lazy_factories(self):
+        from kgt.turtle.format import content_types, file_extensions, for_
+
+        cts = content_types()
+        assert [s.name for s in cts["text/turtle"]] == ["turtle"]
+        assert [s.name for s in cts["application/n-triples"]] == ["ntriples"]
+        assert file_extensions() == {
+            "ttl": "text/turtle",
+            "nt": "application/n-triples",
+        }
+        spec = for_("ttl")
+        assert spec.uri == "http://www.w3.org/ns/formats/Turtle"
+        # reader/writer resolve lazily to the real implementations
+        parser_cls = spec.reader
+        stmts, errs = parser_cls().parse("<urn:a> <urn:b> <urn:c> .")
+        assert not errs and len(stmts) == 1
+        out = spec.writer(stmts)
+        assert "<urn:a>" in out and out.rstrip().endswith(".")
+        nt_spec = for_("nt")
+        assert nt_spec.writer(("I", "urn:x")) == "<urn:x>"
