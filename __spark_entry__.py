@@ -50,6 +50,9 @@ def _bnodes_extracted(spark, sf_dir):
 
 
 _shingle_cache: dict = {}
+# working dirs of streaming_near_dup runs (previous run cleaned at the
+# next invocation; the last at interpreter exit)
+_stream_gate_dirs: list = []
 _recovery_cache: dict = {}
 
 
@@ -883,6 +886,28 @@ def _q_dedup_simhash(spark, sf_dir):
     )
 
 
+def _dup_embeddings(spark, sf_dir):
+    """The embedding dup corpus dedup_embedding joins: embeddings ∪
+    exact copies (id%5, +10^6) ∪ one-component perturbations (id%7,
+    +2·10^6, first component ×1.1 — cosine just under 1). Shared with
+    bench.py's cell-size audit so the audit describes the SAME corpus
+    and the same auto n_cells the gated query runs under."""
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    copies = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    pert = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * 1.1),
+            F.slice("embedding", 2, 100000),
+        ).alias("embedding"),
+    )
+    return base.unionByName(copies).unionByName(pert)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup with IVF cell blocking: the corpus is
     embeddings ∪ exact copies (id%5, +10^6) ∪ one-component
@@ -897,20 +922,7 @@ def _q_dedup_embedding(spark, sf_dir):
     probing, and rounding bit-for-bit."""
     from kgt.textops.similarity import embedding_near_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", v.alias("embedding"))
-    copies = base.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
-    pert = base.filter(F.col("vec_id") % 7 == 0).select(
-        (F.col("vec_id") + 2_000_000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) * 1.1),
-            F.slice("embedding", 2, 100000),
-        ).alias("embedding"),
-    )
-    corpus = base.unionByName(copies).unionByName(pert)
+    corpus = _dup_embeddings(spark, sf_dir)
     # assign='join': the broadcast-centroid assignment (the >256-cell
     # scale path) measured 2.3× faster than the literal expression
     # even at ~50 auto cells for this self-join shape (8.9 → 3.9 s at
@@ -1051,7 +1063,7 @@ def _q_multimodal_decode_real(spark, sf_dir):
 
     from kgt.textops.multimodal import decode_png, encode_png
     from kgt.textops.tiff import decode_pixels as decode_tiff
-    from kgt.textops.tiff import encode_tiff
+    from kgt.textops.tiff import encode_tiff, is_tiff
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("L")
@@ -1091,7 +1103,7 @@ def _q_multimodal_decode_real(spark, sf_dir):
             recs = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(p)
-                if p[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                if is_tiff(p):
                     w, h, _ch, px = decode_tiff(p)
                 else:
                     w, h, _ch, px = decode_png(p)
@@ -1761,13 +1773,28 @@ def _q_streaming_near_dup(spark, sf_dir):
     parity, applyInPandasWithState emission, and state carry-over
     end-to-end under the hash gate. The streaming job runs eagerly
     inside this callable (a stream cannot be returned lazily); the
-    returned DataFrame reads the parquet sink."""
+    returned DataFrame reads the parquet sink, so the working dir must
+    outlive the call — each invocation deletes the PREVIOUS one's dir
+    (the caller has consumed that DataFrame by then) and an atexit
+    hook removes the last."""
+    import atexit
+    import shutil
     import tempfile
 
     from kgt.streaming.extract import streaming_near_dup
 
     corpus = _dup_corpus(spark, sf_dir)
+    if not _stream_gate_dirs:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _stream_gate_dirs
+            ]
+        )
+    while _stream_gate_dirs:
+        shutil.rmtree(_stream_gate_dirs.pop(), ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix="kgt_stream_gate_")
+    _stream_gate_dirs.append(tmp)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     corpus.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
     corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
@@ -3256,16 +3283,19 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sqls.pop("sim_topk_ivf_trained")})
     """
 
+    # LM columns join LEFT (unigram_logprob drops wordless docs by
+    # construction; every document still gets a signals row)
     sqls["doc_signals"] = f"""
-        SELECT doc_id, n_words, avg_logprob, lang_pred, marker_hits,
+        SELECT doc_id, COALESCE(lm.n_words, 0) AS n_words,
+               lm.avg_logprob, lang_pred, marker_hits,
                ws_tokens, re_tokens, bpe_tokens_est, n_chars,
                alpha_ratio, punct_ratio, stop_ratio, quality,
                fp_exact, fp_rolling_min
-        FROM ({sqls.pop("doc_unigram_logprob")}) lm
-        JOIN ({sqls.pop("doc_langid")}) li USING (doc_id)
+        FROM ({sqls.pop("doc_langid")}) li
         JOIN ({sqls.pop("doc_token_count")}) tc USING (doc_id)
         JOIN ({sqls.pop("doc_quality")}) q USING (doc_id)
         JOIN ({sqls.pop("doc_fingerprint")}) fp USING (doc_id)
+        LEFT JOIN ({sqls.pop("doc_unigram_logprob")}) lm USING (doc_id)
     """
 
     # the streaming state machine must emit exactly the batch LSH

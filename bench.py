@@ -160,11 +160,14 @@ def main():
     # IVF cell-size audit for dedup_embedding (round-5 verdict): the
     # distribution behind the intra-cell self-join — max cell size is
     # the worst single-key join cost, quarantined_* what the cell_cap
-    # dropped (zero here; non-zero = the guard earning its keep)
+    # dropped (zero here; non-zero = the guard earning its keep).
+    # Audited over the SAME tripled dup corpus the gated query joins
+    # (its exact-copy clusters are precisely the skew the cap guards),
+    # under the same auto √N cell rule.
     from kgt.textops.similarity import embedding_cell_stats
 
     cell_st = embedding_cell_stats(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        entrymod._dup_embeddings(spark, sf_dir),
         n_cells=None,  # the auto ≈√N rule dedup_embedding runs under
         nprobe=2,
         cell_cap=100_000,

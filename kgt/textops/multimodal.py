@@ -484,11 +484,13 @@ def resize_pixels(payload: bytes, max_side: int) -> bytes:
     Output is always PNG: re-encoding a resized JPEG as JPEG would add
     a second lossy quantization pass, so the lossless container keeps
     the resample deterministic and testable."""
+    from kgt.textops.tiff import is_tiff as _is_tiff
+
     if payload[:2] == b"\xff\xd8":
         from kgt.textops.jpeg import decode_jpeg
 
         w, h, ch, px = decode_jpeg(payload)
-    elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+    elif _is_tiff(payload):
         from kgt.textops.tiff import decode_pixels as _decode_tiff
 
         w, h, ch, px = _decode_tiff(payload)

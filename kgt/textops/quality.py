@@ -230,7 +230,13 @@ def doc_signals(
     LM scores, whose vocabulary-count shuffle is inherent. Joining
     the five standalone operator outputs instead would shuffle the
     full document table four extra times for a result every column
-    of which is derivable from one pass."""
+    of which is derivable from one pass.
+
+    Every input document gets a row: unigram_logprob drops wordless
+    documents by construction (no occurrences to average), so the LM
+    columns join LEFT — an empty/whitespace-only doc keeps its
+    per-row signals with n_words = 0 and avg_logprob NULL, and the
+    curation gate can still apply its empty-doc rule."""
     per_row = docs.select(
         F.col(id_col).alias("doc_id"),
         *_language_cols(text_col),
@@ -238,4 +244,10 @@ def doc_signals(
         *_quality_cols(text_col),
         *_fingerprint_cols(text_col),
     )
-    return unigram_logprob(docs, id_col, text_col).join(per_row, "doc_id")
+    lm = unigram_logprob(docs, id_col, text_col)
+    return per_row.join(lm, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        "avg_logprob",
+        *[c for c in per_row.columns if c != "doc_id"],
+    )

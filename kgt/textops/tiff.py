@@ -24,10 +24,20 @@ TAG_WIDTH = 256
 TAG_HEIGHT = 257
 TAG_BITS = 258
 TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
 TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
+
+# magic headers (shared by the multimodal sniffers — one source of
+# truth instead of per-call-site tuples)
+TIFF_SIGNATURES = (b"II\x2a\x00", b"MM\x00\x2a")
+
+
+def is_tiff(payload: bytes) -> bool:
+    return payload[:4] in TIFF_SIGNATURES
 
 _COMPRESSION_NAMES = {
     1: "none", 2: "ccitt-rle", 5: "lzw", 6: "jpeg-old", 7: "jpeg",
@@ -271,11 +281,27 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(
             f"TIFF strip decode supports 8 bits per sample, got {bits}"
         )
+    planar = one(TAG_PLANAR_CONFIG, 1)
+    if planar != 1:
+        # plane-ordered strips would decode "successfully" into
+        # channel-scrambled bytes if ignored — refuse loudly instead
+        raise NotImplementedError(
+            f"TIFF strip decode supports chunky PlanarConfiguration=1, "
+            f"got {planar} (planar strip layout out of scope)"
+        )
+    photometric = one(TAG_PHOTOMETRIC, 1 if samples == 1 else 2)
+    if photometric not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF strip decode supports PhotometricInterpretation "
+            f"1 (BlackIsZero) / 2 (RGB), got {photometric}"
+        )
     offsets = entries.get(TAG_STRIP_OFFSETS)
     counts = entries.get(TAG_STRIP_BYTE_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
     rows_per_strip = one(TAG_ROWS_PER_STRIP, h)
+    if not rows_per_strip or rows_per_strip < 1:
+        raise ValueError(f"TIFF RowsPerStrip must be >= 1, got {rows_per_strip}")
     if -(-h // rows_per_strip) != len(offsets):
         raise ValueError(
             f"TIFF strip count {len(offsets)} does not cover "

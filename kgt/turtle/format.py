@@ -86,11 +86,16 @@ def _detect_ntriples(sample: str) -> bool:
     line_re = re.compile(
         rf"^(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+{term}\s*\.$"
     )
-    # the last sample line may be cut mid-statement (~1K prefix)
     body, tail = lines[:-1], lines[-1]
-    if not body:
-        return bool(line_re.match(tail))
-    return all(line_re.match(ln) for ln in body)
+    if not all(line_re.match(ln) for ln in body):
+        return False
+    if line_re.match(tail):
+        return True
+    # the last sample line may be cut mid-statement (~1K prefix): give
+    # it a pass ONLY when it looks truncated (no statement terminator)
+    # — a COMPLETE final line that isn't an N-Triples statement (e.g.
+    # Turtle abbreviation syntax appearing only there) must veto
+    return bool(body) and not tail.rstrip().endswith(".")
 
 
 class FormatSpec:
@@ -142,9 +147,17 @@ def _nt_reader():
 
 
 def _nt_writer():
+    # document-level like the turtle writer: statements in, text out
+    # (the per-term encoder stays available as kgt.turtle.nt_encode)
     from kgt.turtle.terms import nt_encode
 
-    return nt_encode
+    def serialize_ntriples(statements) -> str:
+        return "".join(
+            f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} .\n"
+            for s, p, o in statements
+        )
+
+    return serialize_ntriples
 
 
 REGISTRY = [

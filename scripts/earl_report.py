@@ -77,10 +77,21 @@ def _run_cases():
     for suite, cases, fn in [
         ("rdf12-star-pos", M.STAR_POS, M.test_star_positive_syntax),
         ("rdf12-star-neg", M.STAR_NEG, M.test_star_negative_syntax),
+        ("rdf12-star-eval", M.STAR_EVAL, M.test_star_eval),
+        (
+            "rdf12-star-writer-roundtrip",
+            M.STAR_EVAL + M.STAR_POS,
+            M.test_star_writer_roundtrip,
+        ),
         ("rdf11-eval", M.R11_EVAL, M.test_rdf11_eval),
         ("rdf11-pos", M.R11_POS, M.test_rdf11_positive_syntax),
         ("rdf11-neg", M.R11_NEG, M.test_rdf11_negative_syntax),
         ("rdf11-negeval", M.R11_NEGEVAL, M.test_rdf11_negative_eval),
+        (
+            "rdf11-writer-roundtrip",
+            M.R11_EVAL + M.R11_POS,
+            M.test_rdf11_writer_roundtrip,
+        ),
     ]:
         for case in cases:
             out.append((suite, case[0], run(fn, case)))

@@ -56,16 +56,33 @@ print("ABJSON:" + json.dumps(out))
 
 
 def _extract(rev: str, name: str) -> str:
+    commit = subprocess.run(
+        ["git", "rev-parse", rev], cwd=REPO, check=True,
+        capture_output=True, text=True,
+    ).stdout.strip()
     root = os.path.join(REPO, ".ab", name + "full")
+    marker = os.path.join(root, ".ab-commit")
+    # cache keyed by the RESOLVED commit, not the variant name — a
+    # stale tree under a reused name would silently A/B the wrong code
+    if os.path.isdir(root):
+        cached = (
+            open(marker).read().strip() if os.path.exists(marker) else ""
+        )
+        if cached != commit:
+            import shutil
+
+            shutil.rmtree(root)
     if not os.path.isdir(root):
         os.makedirs(root)
         tar = subprocess.run(
-            ["git", "archive", rev], cwd=REPO, check=True,
+            ["git", "archive", commit], cwd=REPO, check=True,
             capture_output=True,
         ).stdout
         subprocess.run(
             ["tar", "-x", "-C", root], input=tar, check=True
         )
+        with open(marker, "w") as f:
+            f.write(commit)
     return root
 
 

@@ -21,8 +21,11 @@ def test_earl_report_roundtrip_and_green():
 
     expected_total = (
         len(M.GOOD) + len(M.BAD) + len(M.STAR_POS) + len(M.STAR_NEG)
-        + len(M.R11_EVAL) + len(M.R11_POS) + len(M.R11_NEG)
-        + len(M.R11_NEGEVAL)
+        + len(M.STAR_EVAL) + len(M.R11_EVAL) + len(M.R11_POS)
+        + len(M.R11_NEG) + len(M.R11_NEGEVAL)
+        # writer-roundtrip suites: one assertion per roundtripped case
+        + len(M.STAR_EVAL) + len(M.STAR_POS)
+        + len(M.R11_EVAL) + len(M.R11_POS)
     )
     assert sum(counts.values()) == expected_total
 

@@ -76,6 +76,13 @@ class TestFormatRegistry:
         semi = '<urn:s> <urn:p> "o" ;\n  <urn:q> <urn:r> .'
         assert for_(sample=semi).name == "turtle"
         assert for_(sample='{"@context": {"a": 1}}') is None
+        # a COMPLETE final line with Turtle-only syntax vetoes the
+        # N-Triples match; a line cut mid-statement (no terminator)
+        # does not
+        mixed = "<urn:a> <urn:b> <urn:c> .\n<urn:a> <urn:d> (1 2) ."
+        assert for_(sample=mixed).name == "turtle"
+        cut = "<urn:a> <urn:b> <urn:c> .\n<urn:a> <urn:d> <urn:lo"
+        assert for_(sample=cut).name == "ntriples"
 
     def test_registry_mappings_and_lazy_factories(self):
         from kgt.turtle.format import content_types, file_extensions, for_
@@ -95,5 +102,10 @@ class TestFormatRegistry:
         assert not errs and len(stmts) == 1
         out = spec.writer(stmts)
         assert "<urn:a>" in out and out.rstrip().endswith(".")
+        # writers are UNIFORM across the registry: statements in,
+        # document text out — generic dispatch works for either format
         nt_spec = for_("nt")
-        assert nt_spec.writer(("I", "urn:x")) == "<urn:x>"
+        nt_doc = nt_spec.writer(stmts)
+        assert nt_doc == "<urn:a> <urn:b> <urn:c> .\n"
+        reparsed, errs2 = nt_spec.reader().parse(nt_doc)
+        assert not errs2 and reparsed == stmts

@@ -500,6 +500,8 @@ def test_doc_signals_fused_projection(spark):
             (2, "der schnelle braune Fuchs, und der faule Hund!"),
             (3, "x " * 40),
             (4, "short"),
+            (5, ""),
+            (6, "   "),
         ],
         "doc_id long, text string",
     )
@@ -516,7 +518,17 @@ def test_doc_signals_fused_projection(spark):
     rows = lambda df: sorted(  # noqa: E731
         tuple(r[c] for c in cols) for r in df.collect()
     )
-    assert rows(fused) == rows(joined)
+    # wordless docs: the join-of-five DROPS them (unigram_logprob has
+    # no row to inner-join); doc_signals must keep them with
+    # n_words = 0 and avg_logprob NULL — on the worded docs the two
+    # agree exactly
+    got = {r[0]: r for r in fused.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for d in (5, 6):
+        assert got[d]["n_words"] == 0 and got[d]["avg_logprob"] is None
+        assert got[d]["ws_tokens"] == 0
+    worded = fused.filter(fused.doc_id <= 4)
+    assert rows(worded) == rows(joined)
     # plan shape: exchanges only from the unigram core + one join —
     # strictly fewer than the join-of-five plan
     import re
