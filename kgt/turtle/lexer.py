@@ -267,7 +267,8 @@ class TokenStream:
         tok = self.toks[self.i]
         if tok[0] is ERR:
             raise LexerError(
-                f"invalid token at {tok[1]!r}", self.i, lineno_at(self.text, tok[2])
+                f"invalid token at {tok[1]!r}", tok[2],
+                lineno_at(self.text, tok[2]),
             )
         return tok
 

@@ -471,7 +471,7 @@ class TurtleParser:
                         tv = "0" + tv
                     return self._literal(tv, datatype=XSD_DECIMAL), i + 1
                 if tt == "DOUBLE":
-                    tv = re.sub(r"\.([eE])", r".0\1", tv)
+                    tv = _DOT_E_RE.sub(r".0\1", tv)
                     return self._literal(tv, datatype=XSD_DOUBLE), i + 1
                 if tt is None and (tv == "true" or tv == "false"):
                     return self._literal(tv, datatype=XSD_BOOLEAN), i + 1
@@ -696,6 +696,11 @@ class TurtleParser:
             raw = iri
             if not urilib.is_absolute(iri) and self.base:
                 iri = urilib.resolve(self.base, iri)
+            if self.canonicalize:
+                # reader.rb:188 value.canonicalize! — RFC 3986 §6.2.2
+                # syntax normalization (scheme/host case, default port,
+                # dot segments)
+                iri = urilib.canonicalize(iri)
             if self.intern:
                 iri = _sys.intern(iri)
             term = ("I", iri)
@@ -707,6 +712,8 @@ class TurtleParser:
             iri = urilib.resolve(self.base, iri)
         if not urilib.is_absolute(iri):
             self._error(f"relative IRI without base: {iri!r}", "process_iri")
+        if self.canonicalize:
+            iri = urilib.canonicalize(iri)
         if self.intern:
             iri = _sys.intern(iri)
         return ("I", iri)
@@ -758,6 +765,14 @@ class TurtleParser:
             if t[0] == "I" and (
                 not urilib.is_absolute(t[1])
                 or urilib.has_illegal_chars(t[1])
+            ):
+                return False
+            # quoted triples recurse: reader.rb:173 statement.invalid?
+            # walks embedded RDF::Statement terms, so an ill-typed
+            # literal or illegal IRI INSIDE << ... >> invalidates the
+            # asserting statement too
+            if t[0] == "Q" and not self._statement_valid(
+                t[1], t[2], t[3]
             ):
                 return False
         return True
@@ -1058,7 +1073,7 @@ class TurtleParser:
         if ttype == "DOUBLE":
 
             def dbl():
-                v = re.sub(r"\.([eE])", r".0\1", self._shift()[1])
+                v = _DOT_E_RE.sub(r".0\1", self._shift()[1])
                 return self._literal(v, datatype=XSD_DOUBLE)
 
             return self._prod("literal", [], dbl)

@@ -50,6 +50,13 @@ def literal_term(lexical: str, datatype=None, lang=None, direction=None):
     # "xyz"@en from @EN with validate:false and no canonicalization) —
     # BCP 47 tags are case-insensitive, RDF 1.1 Concepts normalizes to
     # lowercase in the value space.
+    #
+    # RDF 1.1 makes a simple literal and the same lexical typed
+    # xsd:string ONE term (Concepts §3.3) — normalize at construction
+    # so term equality (graph dedup, writer object lists, join keys)
+    # sees one value; the encoders already printed them identically.
+    if datatype == XSD_STRING and lang is None:
+        datatype = None
     return ("L", lexical, datatype, lang.lower() if lang else lang, direction)
 
 
@@ -204,13 +211,18 @@ def _canonical_double(lex: str) -> str:
     f = float(lex)
     if f == 0.0:
         return "0.0E0"
-    s = f"{f:.15E}"  # e.g. 1.230000000000000E+03
-    mant, exp = s.split("E")
-    exp_i = int(exp)
-    mant = mant.rstrip("0")
-    if mant.endswith("."):
-        mant += "0"
-    return f"{mant}E{exp_i}"
+    # SHORTEST round-trip digits (Python repr — the same
+    # shortest-representation rule Ruby Float#to_s uses, which is what
+    # makes the reference's pinned canonical forms like 0.1 → "1.0E-1"
+    # come out): every distinct double keeps a distinct canonical form
+    # (a fixed %.15E collapsed e.g. 0.30000000000000004 onto 0.3), and
+    # common values stay short instead of growing 17-digit noise.
+    from decimal import Decimal
+
+    sign, digits, exp = Decimal(repr(f)).as_tuple()
+    adj = exp + len(digits) - 1
+    frac = "".join(map(str, digits[1:])).rstrip("0") or "0"
+    return f"{'-' if sign else ''}{digits[0]}.{frac}E{adj}"
 
 
 def canonicalize(term):

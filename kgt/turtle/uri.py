@@ -138,3 +138,42 @@ _ILLEGAL_IRI_RE = re.compile(r'[\x00-\x20<>"{}|^`\\]')
 
 def has_illegal_chars(iri: str) -> bool:
     return _ILLEGAL_IRI_RE.search(iri) is not None
+
+
+# RDF::URI::PORT_MAPPING defaults the canonicalizer drops
+_DEFAULT_PORTS = {
+    "http": "80", "https": "443", "ftp": "21",
+    "ws": "80", "wss": "443", "gopher": "70",
+}
+
+
+def canonicalize(iri: str) -> str:
+    """RFC 3986 §6.2.2 syntax-based normalization, mirroring
+    RDF::URI#canonicalize! (rdf gem uri.rb — the reader calls it under
+    the ``canonicalize`` option, reader.rb:187): scheme and host
+    downcased, the scheme's default port dropped, dot-segments removed
+    and duplicate slashes squeezed in the path (RDF.rb's
+    normalized_path .squeeze('/')), empty path with an authority
+    normalized to '/'. Query/fragment/userinfo are left as written."""
+    scheme, authority, path, query, fragment = split_iri(iri)
+    if scheme is not None:
+        scheme = scheme.lower()
+    if authority is not None:
+        userinfo, _, hostport = authority.rpartition("@")
+        host, colon, port = hostport.partition(":")
+        host = host.lower()
+        if colon and port == _DEFAULT_PORTS.get(scheme, None):
+            colon, port = "", ""
+        authority = (userinfo + "@" if userinfo else "") + host + colon + port
+        if not path:
+            path = "/"
+    if path:
+        path = remove_dot_segments(path)
+        if "//" in path:
+            head = ""
+            if path.startswith("/"):
+                head, path = "/", path.lstrip("/")
+            while "//" in path:
+                path = path.replace("//", "/")
+            path = head + path
+    return unsplit(scheme, authority, path, query, fragment)

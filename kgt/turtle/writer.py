@@ -35,13 +35,6 @@ RDF_FIRST = tm.RDF_NS + "first"
 RDF_REST = tm.RDF_NS + "rest"
 RDF_NIL = tm.RDF_NS + "nil"
 
-# predicate emission order (writer.rb:360): rdf:type, rdfs:label,
-# dc:title first, then lexicographic
-_PREDICATE_ORDER = {
-    RDF_TYPE: 0,
-    "http://www.w3.org/2000/01/rdf-schema#label": 1,
-    "http://purl.org/dc/terms/title": 2,
-}
 # subjects typed by these classes serialize first (writer.rb:355)
 _TOP_CLASSES = {"http://www.w3.org/2000/01/rdf-schema#Class"}
 
@@ -157,7 +150,6 @@ _ESCAPES = {
     "\f": "\\f",
 }
 _ESC_RE = re.compile(r'[\\"\n\r\t\b\f]')
-_LONG_ESC_RE = re.compile(r'[\\]|"""')
 
 
 def quoted(value: str) -> str:
@@ -513,11 +505,26 @@ class _PrettyWriter:
                 self.lists.setdefault(_RDF_NIL_T, ([], []))
 
         # writer.rb:190-193: a referenced list with non-list properties
-        # can't render as (...)
+        # can't render as (...). DOCUMENTED DEVIATION: the reference's
+        # prop_count excludes rdf:type (writer.rb:494-499), so a
+        # referenced list head carrying `a :X` inlines as (...) and its
+        # type triple is silently DROPPED (collection() marks the node
+        # done). Here ANY extra property — type included — blocks
+        # inlining: the head renders as a bare bnode label and all its
+        # triples reach the document (losing statements is worse than
+        # byte parity; no inlinable W3C-corpus shape changes).
+        def _extra_props(n):
+            props = self.by_subject.get(n, {})
+            return sum(
+                len(objs)
+                for pred, objs in props.items()
+                if pred not in (RDF_FIRST, RDF_REST)
+            )
+
         self.lists = {
             n: v
             for n, v in self.lists.items()
-            if not (self.ref_count.get(n, 0) > 0 and self.prop_count(n) > 0)
+            if not (self.ref_count.get(n, 0) > 0 and _extra_props(n) > 0)
         }
 
         self.serialized: set = set()

@@ -561,3 +561,74 @@ class TestRepeatedSeparators:
         doc = '@prefix x: <t:> .\nx:s x:p "a",, "b" ;; x:q "c" .\nx:t x:p x:o .'
         stmts, errs = TurtleParser().parse(doc)
         assert len(stmts) == 4 and not errs
+
+
+def test_canonical_double_roundtrips_every_value():
+    """XSD-canonical doubles must map back to the SAME double — the
+    shortest-round-trip rule (Python repr / Ruby Float#to_s, which is
+    how the reference pins canonical(0.1) = 1.0E-1); a fixed %.15E
+    collapsed 0.30000000000000004 onto 0.3 (review find, round 6)."""
+    from kgt.turtle.terms import _canonical_double
+
+    cases = [
+        "0.30000000000000004", "0.3", "1.7976931348623157E308",
+        "5E-324", "123.E+1", "-2.5", "1e0", "0.1",
+    ]
+    seen = {}
+    for lex in cases:
+        canon = _canonical_double(lex)
+        assert float(canon) == float(lex), (lex, canon)
+        # distinct values stay distinct through canonicalization
+        seen.setdefault(float(lex), set()).add(canon)
+    assert all(len(v) == 1 for v in seen.values())
+    assert _canonical_double("0.30000000000000004") != _canonical_double("0.3")
+    # shape invariants: one digit before '.', no '+' exponent sign
+    assert _canonical_double("123.E+1") == "1.23E3"
+    assert _canonical_double("0") == "0.0E0" or _canonical_double("0.0") == "0.0E0"
+
+
+def test_validate_recurses_into_quoted_triples():
+    """reader.rb:173 statement.invalid? walks embedded RDF::Statement
+    terms: an ill-typed literal or illegal IRI inside << ... >> must
+    invalidate the asserting statement under validate (review find,
+    round 6 — the same literal at top level already failed)."""
+    from kgt.turtle import TurtleParser
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    bad_lit = (
+        f'<< <http://e/s> <http://e/p> "abc"^^<{XSD}integer> >> '
+        "<http://e/q> <http://e/o> ."
+    )
+    bad_iri = "<< <rel> <http://e/p> <http://e/o> >> <http://e/q> <http://e/o> ."
+    good = '<< <http://e/s> <http://e/p> "1"^^<%sinteger> >> <http://e/q> <http://e/o> .' % XSD
+    for doc, ok in [(bad_lit, False), (bad_iri, False), (good, True)]:
+        parser = TurtleParser(validate=True, rdfstar=True)
+        parser.validate_raises = False
+        stmts, errs = parser.parse(doc)
+        assert bool(errs) != ok, (doc, errs[:2])
+    # non-validate mode still accepts them all (quarantine-free lax path)
+    for doc in (bad_lit, bad_iri, good):
+        stmts, errs = TurtleParser(rdfstar=True).parse(doc)
+        assert not errs and stmts
+
+
+def test_canonicalize_normalizes_iris():
+    """reader.rb:188 calls value.canonicalize! under the canonicalize
+    option (review find, round 6 — the flag was literal-only here):
+    RFC 3986 §6.2.2 — scheme/host case, default port, dot segments;
+    off by default."""
+    from kgt.turtle import TurtleParser
+
+    doc = (
+        "<HTTP://EXAMPLE.COM:80/a/./b/../c> <http://e/p> "
+        "<https://User@HOST.org/x//y> ."
+    )
+    stmts, errs = TurtleParser(canonicalize=True).parse(doc)
+    assert not errs
+    s, p, o = stmts[0]
+    assert s == ("I", "http://example.com/a/c")
+    assert p == ("I", "http://e/p")
+    assert o == ("I", "https://User@host.org/x/y")
+    # without the flag, written form is preserved
+    stmts2, _ = TurtleParser().parse(doc)
+    assert stmts2[0][0] == ("I", "HTTP://EXAMPLE.COM:80/a/./b/../c")

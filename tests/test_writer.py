@@ -258,3 +258,63 @@ class TestCollectionDataLossDeviations:
             "@prefix : <http://e/> . :s :p (_:b) . :x :q _:b . "
             "_:b :r :z ."
         )
+
+
+def test_plain_and_xsd_string_literals_are_one_term():
+    """RDF 1.1 Concepts §3.3: a simple literal IS the xsd:string
+    literal — they must dedupe as one term (review find, round 6: the
+    writer printed '"x", "x"' for '"x", "x"^^xsd:string')."""
+    from kgt.turtle import TurtleParser
+    from kgt.turtle.writer import serialize_pretty
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    stmts, errs = TurtleParser().parse(
+        f'<http://e/s> <http://e/p> "x", "x"^^<{XSD}string> .'
+    )
+    assert not errs
+    assert len(set(stmts)) == 1  # one term, one statement after dedup
+    out = serialize_pretty(set(stmts))
+    assert out.count('"x"') == 1
+    reparsed, errs2 = TurtleParser().parse(out)
+    assert not errs2 and set(reparsed) == set(stmts)
+
+
+def test_referenced_list_head_with_type_keeps_all_triples():
+    """Review find (round 6): a referenced list head carrying `a :X`
+    used to inline as (...) and silently DROP the rdf:type triple
+    (the reference's prop_count excludes type — writer.rb:494-499 —
+    and collection() marks the node done). Any extra property now
+    blocks inlining so every statement reaches the document."""
+    from kgt.turtle import TurtleParser, nt_encode
+    from kgt.turtle.writer import serialize_pretty
+    from tests.helpers import canon_bnodes
+
+    R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = (
+        f"<http://e/s> <http://e/p> _:l . "
+        f"_:l <{R}first> 1 ; <{R}rest> <{R}nil> ; "
+        f"<{R}type> <http://e/X> ."
+    )
+    stmts, errs = TurtleParser().parse(doc)
+    assert not errs and len(stmts) == 4
+    out = serialize_pretty(stmts)
+    reparsed, errs2 = TurtleParser().parse(out)
+    assert not errs2
+
+    def canon(ss):
+        return canon_bnodes(
+            sorted(
+                f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} ."
+                for s, p, o in ss
+            )
+        )
+
+    assert canon(reparsed) == canon(stmts)
+    # an UNREFERENCED typed list head (subject position) still works
+    doc2 = (
+        f"_:m <{R}first> 1 ; <{R}rest> <{R}nil> ; "
+        f"<{R}type> <http://e/X> ."
+    )
+    stmts2, _ = TurtleParser().parse(doc2)
+    reparsed2, e2 = TurtleParser().parse(serialize_pretty(stmts2))
+    assert not e2 and canon(reparsed2) == canon(stmts2)

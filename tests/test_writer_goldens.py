@@ -12,7 +12,7 @@ import re
 
 import pytest
 
-from kgt.turtle import TurtleParser
+from kgt.turtle import TurtleParser, nt_encode
 from kgt.turtle.writer import _PrettyWriter, serialize_pretty
 
 EX = "http://example.com/"
@@ -268,12 +268,19 @@ class TestLists:
             ]
           ] .
         """
-        _serialize(
+        # DOCUMENTED DEVIATION from writer_spec.rb's pinned bytes
+        # (owl:unionOf (ex:b ex:c)): the reference INLINES the list and
+        # silently DROPS the interior nodes' `a owl:Class` triples
+        # (prop_count excludes rdf:type, writer.rb:494-499; the spec's
+        # regex never checks for them). Under this repo's no-data-loss
+        # policy (README deviation table) a referenced list node with
+        # ANY extra property — type included — renders as a nested
+        # property list instead, and every input statement must
+        # round-trip.
+        out = _serialize(
             ttl,
             [
-                (
-                    r"ex:a rdfs:domain \[\s*a owl:Class;\s+owl:unionOf\s+\(\s*ex:b\s+ex:c\s*\)\s*\]\s*\.$",
-                ),
+                (r"ex:a rdfs:domain \[\s*a owl:Class;\s+owl:unionOf\s+\[",),
                 rf"@prefix ex: <{EX}> \.",
             ],
             prefixes={
@@ -283,6 +290,21 @@ class TestLists:
                 "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
             },
         )
+        from tests.helpers import canon_bnodes
+
+        stmts = _parse(ttl)
+        reparsed, errs = TurtleParser().parse(out)
+        assert not errs
+
+        def canon(ss):
+            return canon_bnodes(
+                sorted(
+                    f"{nt_encode(a)} {nt_encode(b)} {nt_encode(c)} ."
+                    for a, b, c in ss
+                )
+            )
+
+        assert canon(reparsed) == canon(stmts)  # 10/10 triples survive
 
     def test_list_with_first_subject_a_uri(self):
         u = ("I", "http://example.com")
