@@ -69,10 +69,29 @@ def _prefix_map(lines: DataFrame) -> DataFrame:
 
 def is_regular_doc(text_col):
     """Conservative eligibility gate for the fast path: reject any doc
-    containing constructs the flat per-line parser can't express (long
-    strings, property lists, collections, RDF-star, ';' continuations).
-    False negatives only cost the fast path, never correctness."""
-    return ~text_col.rlike(r'"""|\'\'\'|[\[\(;]|\{\||<<')
+    containing constructs the flat per-line parser can't express —
+    long strings, property lists, collections, RDF-star, ';'
+    continuations, blank-node labels, @base/SPARQL directives,
+    default-prefix declarations, empty-local pnames, UCHAR escapes,
+    and statements wrapped across lines (a non-blank non-comment line
+    not ending in '.'). False negatives only cost the fast path,
+    never correctness: VALID Turtle the line parser would quarantine
+    must never pass this gate (round-6 review find — `@prefix :`,
+    `_:b0` and wrapped statements used to slip through and their
+    triples silently became E rows)."""
+    return ~text_col.rlike(
+        r"(?m)"
+        r'"""|\'\'\'|[\[\(;]|\{\||<<'  # grammar-only constructs
+        r"|_:"  # blank-node labels
+        r"|\\[uU]"  # UCHAR escapes (passthrough would skip unescaping)
+        r"|^\s*@base\s|^\s*[Bb][Aa][Ss][Ee]\s|^\s*[Pp][Rr][Ee][Ff][Ii][Xx]\s"
+        r"|^\s*@prefix\s*:"  # default-prefix declaration
+        # empty-local pname term (`ex:` / `:`), excluding the pfx token
+        # of @prefix declaration lines
+        r"|^(?!\s*@prefix\s).*[ \t]\w*:([ \t]|$)"
+        r"|^\w*:([ \t]|$)"
+        r"|^(?!\s*$)(?!\s*#).*[^.\s][ \t]*$"  # line not ending in '.'
+    )
 
 
 def parse_fastpath(docs: DataFrame) -> DataFrame:

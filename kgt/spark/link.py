@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from kgt.textops.dedup import normalize_text
 
+# mention triples' stmt_idx offset: parse-triple stmt_idx is dense per
+# conversation and realistically bounded (a conversation with 10^9
+# statements is not a row, it's a bug), so this base keeps the two
+# families disjoint in one table
+MENTION_STMT_BASE = 1_000_000_000
+
 # IRIs in free text: detected with one vectorized regexp (no UDF)
 _IRI_IN_TEXT = r"<(https?://[^\s<>\"{}|^`\\]+|urn:[^\s<>\"{}|^`\\]+)>"
 
@@ -34,9 +40,18 @@ def detect_mentions(transcripts: DataFrame) -> DataFrame:
         col.isNotNull(),
         F.array(F.struct(F.lit(kind).alias("kind"), col.alias("surface"))),
     ).otherwise(F.array().cast("array<struct<kind:string,surface:string>>"))
-    iri_structs = F.transform(
-        F.regexp_extract_all("text", F.lit(_IRI_IN_TEXT), 1),
-        lambda s: F.struct(F.lit("iri").alias("kind"), s.alias("surface")),
+    iri_structs = F.coalesce(
+        F.transform(
+            F.regexp_extract_all("text", F.lit(_IRI_IN_TEXT), 1),
+            lambda s: F.struct(
+                F.lit("iri").alias("kind"), s.alias("surface")
+            ),
+        ),
+        # F.concat is null-propagating: a NULL text (e.g. a bare tool
+        # call) must contribute an EMPTY iri array, not null the whole
+        # mentions array and silently drop the turn's role/tool
+        # mentions (round-6 review find)
+        F.array().cast("array<struct<kind:string,surface:string>>"),
     )
     all_mentions = F.concat(
         mk("role", F.col("role")), mk("tool", F.col("tool")), iri_structs
@@ -59,6 +74,11 @@ def build_iri_dictionary(*sources: DataFrame) -> DataFrame:
     every linking join. Dictionary size is dimension-bounded (~1k-1M
     rows), never corpus-bounded.
     """
+    if not sources:
+        raise ValueError(
+            "build_iri_dictionary needs at least one (surface, iri, "
+            "kind) source"
+        )
     out = None
     for src in sources:
         part = src.select(
@@ -91,7 +111,12 @@ def link_mentions(mentions: DataFrame, iri_dict: DataFrame) -> DataFrame:
         iri_dict.select(
             normalize_text(F.col("surface")).alias("_k"),
             F.col("iri").alias("iri"),
-        ).dropDuplicates(["_k"])
+        )
+        # min-iri tiebreak, NOT dropDuplicates: two dict surfaces that
+        # normalize to the same key must link deterministically across
+        # runs/retries (same rule as build_iri_dictionary)
+        .groupBy("_k")
+        .agg(F.min("iri").alias("iri"))
     )
     m = mentions.withColumn("_k", normalize_text(F.col("surface")))
     return m.join(d, "_k", "left").drop("_k")
@@ -103,13 +128,20 @@ def mentions_to_triples(linked: DataFrame) -> DataFrame:
         <urn:conv:C> <urn:kg:mentions> <iri>        (per linked mention)
         <urn:conv:C> <urn:kg:turnMention> "kind:surface"@? per turn
 
-    stmt_idx continues a per-conversation dense order (turn_idx-based)
-    so mention triples coexist with parse triples in one table.
+    stmt_idx = MENTION_STMT_BASE + turn_idx: mention triples sort
+    AFTER every parse triple of the conversation (parse stmt_idx is
+    statement-dense from 0 and bounded far below the base), so the two
+    families union into one table without stmt_idx collisions — a
+    collision would make the streaming writer's lag()-window separator
+    choice nondeterministic on ties (round-6 review find; the old
+    turn_idx-based stmt_idx collided with parse rows).
     """
     m = linked.filter(F.col("iri").isNotNull())
     return m.select(
         "conv_id",
-        (F.col("turn_idx").cast("long")).alias("stmt_idx"),
+        (MENTION_STMT_BASE + F.col("turn_idx").cast("long")).alias(
+            "stmt_idx"
+        ),
         F.concat(F.lit("<urn:conv:"), F.col("conv_id"), F.lit(">")).alias(
             "subj"
         ),

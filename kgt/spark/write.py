@@ -230,9 +230,18 @@ def materialize_triples(
                 "in jar-less environments."
             )
         table = path[len("iceberg:") :]
+        # the layout-defining partition transform the docstring
+        # promises (round-6 review find: it was missing, creating an
+        # UNPARTITIONED table): bucket the subject hash + identity on
+        # the salt — subj equi-joins get storage-partitioned-join /
+        # bucket pruning, the whole point of this sink
         writer = out.writeTo(table).using("iceberg")
         if mode == "overwrite":
-            writer.createOrReplace()
+            # partitionedBy only applies at table (re)creation; on
+            # append the existing table's spec governs
+            writer.partitionedBy(
+                F.bucket(n_buckets, F.col("subj")), F.col("salt")
+            ).createOrReplace()
         else:
             writer.append()
         return

@@ -123,3 +123,43 @@ def test_fastpath_pn_local_escapes(spark):
     assert rows[0]["subj"] == "<http://k/a%25b>"
     # no '#' in prefix IRI → leading escaped '#' kept
     assert rows[0]["obj"] == "<http://k/#frag>"
+
+
+def test_gate_rejects_valid_turtle_the_line_parser_would_quarantine(spark):
+    """Round-6 review find: is_regular_doc must NEVER pass valid
+    Turtle that parse_fastpath would quarantine — default-prefix docs,
+    blank-node labels, @base/SPARQL directives, empty-local pnames,
+    UCHAR escapes, wrapped statements. Each doc below is VALID for the
+    grammar path; under the routed split its triples must come out as
+    kind='T', never 'E'."""
+    import pyspark.sql.functions as SF
+
+    from kgt.spark.fastpath import is_regular_doc, parse_fastpath
+    from kgt.spark.parse import parse_documents
+
+    tricky = [
+        ("d1", "@prefix : <urn:x:> .\n:a :p :b ."),
+        ("d2", "_:b0 <urn:p:q> <urn:o:1> ."),
+        ("d3", "@base <urn:base:> .\n<s> <urn:p:q> <urn:o:1> ."),
+        ("d4", "PREFIX p: <urn:x:>\np:a p:q p:b ."),
+        ("d5", "@prefix p: <urn:x:> .\np:a p:q\n  p: ."),  # wrapped + empty local
+        ("d6", "<urn:s:\\u00e9x> <urn:p:q> <urn:o:1> ."),
+        ("d7", "@prefix p: <urn:x:> .\np:s p:q p: ."),  # empty-local object
+    ]
+    docs = spark.createDataFrame(tricky, "conv_id string, text string")
+    assert docs.filter(is_regular_doc(SF.col("text"))).count() == 0
+    # the routed union therefore parses them ALL via the grammar path
+    regular = docs.filter(is_regular_doc(SF.col("text")))
+    rest = docs.filter(~is_regular_doc(SF.col("text")))
+    ext = parse_fastpath(regular).unionByName(
+        parse_documents(rest), allowMissingColumns=True
+    )
+    kinds = {
+        r["conv_id"]: r["kinds"]
+        for r in ext.groupBy("conv_id")
+        .agg(SF.collect_set("kind").alias("kinds"))
+        .collect()
+    }
+    assert set(kinds) == {c for c, _ in tricky}
+    for c, ks in kinds.items():
+        assert ks == ["T"], (c, ks)

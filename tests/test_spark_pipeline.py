@@ -540,3 +540,73 @@ def test_doc_signals_fused_projection(spark):
         )
     )
     assert nex(fused) < nex(joined)
+
+
+def test_detect_mentions_null_text_keeps_role_and_tool(spark):
+    """Round-6 review find: F.concat is null-propagating, so a turn
+    with NULL text (a bare tool call) used to null the whole mentions
+    array and silently drop its role/tool mentions."""
+    from kgt.spark.link import detect_mentions
+
+    tx = spark.createDataFrame(
+        [
+            ("c1", 0, "user", None, "hello <urn:x:1>"),
+            ("c1", 1, "tool", "calc", None),
+        ],
+        "conv_id string, turn_idx int, role string, tool string, text string",
+    )
+    got = {
+        (r["turn_idx"], r["kind"], r["surface"])
+        for r in detect_mentions(tx).collect()
+    }
+    assert (1, "role", "tool") in got
+    assert (1, "tool", "calc") in got
+    assert (0, "iri", "urn:x:1") in got
+
+
+def test_link_mentions_deterministic_on_surface_collision(spark):
+    """Two dictionary surfaces normalizing to one key must link to the
+    MIN iri on every run (the build_iri_dictionary rule) — the old
+    dropDuplicates kept an arbitrary row."""
+    from kgt.spark.link import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("c1", 0, "role", "Foo  Bar")],
+        "conv_id string, turn_idx int, kind string, surface string",
+    )
+    iri_dict = spark.createDataFrame(
+        [("Foo Bar", "urn:b"), ("foo  bar", "urn:a"), ("FOO BAR", "urn:c")],
+        "surface string, iri string",
+    )
+    for _ in range(3):
+        rows = link_mentions(mentions, iri_dict).collect()
+        assert len(rows) == 1 and rows[0]["iri"] == "urn:a"
+
+
+def test_mention_stmt_idx_disjoint_from_parse_rows(spark, sf_dir):
+    """Round-6 review find: mention triples used stmt_idx = turn_idx,
+    colliding with parse-triple stmt_idx (both dense from 0). They now
+    sit above MENTION_STMT_BASE so the two families union without
+    ties."""
+    from kgt.spark.link import (
+        MENTION_STMT_BASE,
+        detect_mentions,
+        link_mentions,
+        mentions_to_triples,
+    )
+    from kgt.spark.transcripts import orders_transcripts
+
+    tx = orders_transcripts(spark, sf_dir)
+    iri_dict = spark.createDataFrame(
+        [("user", "urn:agent:user")], "surface string, iri string"
+    )
+    m = mentions_to_triples(link_mentions(detect_mentions(tx), iri_dict))
+    lo = m.agg(F.min("stmt_idx")).collect()[0][0]
+    assert lo >= MENTION_STMT_BASE
+
+
+def test_build_iri_dictionary_requires_sources(spark):
+    from kgt.spark.link import build_iri_dictionary
+
+    with pytest.raises(ValueError, match="at least one"):
+        build_iri_dictionary()
