@@ -2747,15 +2747,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
     """
 
-    _occ = (
-        lambda w: f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    # exact token counts for segmented scripts; substring counts for
+    # the unsegmented CJK markers (mirrors quality._word_count /
+    # _substr_count — round-6 fix: padded-replace arithmetic
+    # undercounted adjacent repeats and never fired on CJK)
+    _tok_occ = (
+        lambda w: f"CAST(len(list_filter(toks, x -> x = '{w}')) AS BIGINT)"
+    )
+    _sub_occ = (
+        lambda w: f"CAST((length(n) - length(replace(n, '{w}', ''))) / {len(w)} AS BIGINT)"
     )
     # the oracle is GENERATED from the engine's marker table, so the
     # two sides can never drift
     from kgt.textops.quality import LANG_MARKERS as markers
+    from kgt.textops.quality import UNSEGMENTED_LANGS as unseg
 
     score_exprs = {
-        lang: " + ".join(_occ(w) for w in ws) for lang, ws in markers.items()
+        lang: " + ".join(
+            (_sub_occ if lang in unseg else _tok_occ)(w) for w in ws
+        )
+        for lang, ws in markers.items()
     }
     scores_sql = ", ".join(
         f"({e}) AS s_{lang}" for lang, e in score_exprs.items()
@@ -2787,15 +2798,23 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         ),
         w AS (SELECT doc_id, substr(x, i, 30) AS h FROM pos),
-        hc AS (SELECT h, count(*) AS c FROM w GROUP BY h)
-        SELECT w.doc_id,
-               count(*) AS n_windows,
-               CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dup_windows,
-               round(CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 6) AS dup_ratio
-        FROM w JOIN hc USING (h)
-        GROUP BY w.doc_id
+        hc AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+        prof AS (
+          SELECT w.doc_id,
+                 count(*) AS n_windows,
+                 CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_windows,
+                 round(CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS dup_ratio
+          FROM w JOIN hc USING (h)
+          GROUP BY w.doc_id
+        )
+        SELECT c.doc_id,
+               COALESCE(prof.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+               COALESCE(prof.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+               prof.dup_ratio
+        FROM (SELECT DISTINCT doc_id FROM corpus) c
+        LEFT JOIN prof ON prof.doc_id = c.doc_id
     """
 
     # unigram LM: retrain the same corpus counts in SQL; avg of
@@ -2817,7 +2836,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["doc_langid"] = f"""
-        WITH p0 AS (SELECT doc_id, ' ' || {_norm} || ' ' AS p FROM documents),
+        WITH p0 AS (SELECT doc_id, {_norm} AS n,
+                           string_split({_norm}, ' ') AS toks
+                    FROM documents),
         sc AS (SELECT doc_id, {scores_sql} FROM p0)
         SELECT doc_id,
                CASE WHEN {max_sql} > 0 THEN {first_lang} ELSE 'und' END AS lang_pred,
@@ -2835,7 +2856,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    stop_occ = " + ".join(_occ(w) for w in ["the", "and", "of", "a", "in"])
+    stop_occ = " + ".join(
+        _tok_occ(w) for w in ["the", "and", "of", "a", "in"]
+    )
     sqls["doc_quality"] = f"""
         WITH b AS (
           SELECT doc_id,
@@ -2843,7 +2866,7 @@ def oracle_sql() -> dict[str, str]:
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
                  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-                 ' ' || {_norm} || ' ' AS p
+                 string_split({_norm}, ' ') AS toks
           FROM documents
         ), r AS (
           SELECT doc_id,

@@ -40,9 +40,16 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     Returns (fp, n_docs, min_doc_id) for groups with n_docs > 1 —
     min_doc_id is the canonical representative to keep.
+
+    NULL-text documents are excluded: md5(NULL) is NULL and groupBy
+    treats NULL keys as equal, which would flag every extraction
+    failure as one giant duplicate group of unrelated docs (round-6
+    review find). An EMPTY string is still a real fingerprint — all
+    empty docs genuinely are duplicates of each other.
     """
     return (
-        docs.select(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
         )
         .groupBy("fp")
@@ -144,7 +151,7 @@ def minhash_signatures(
     for Jaccard j is 1-(1-j^r)^b — with the default b=8, r=4: j=0.9
     collides w.p. ~0.95, j=0.3 w.p. ~0.06.
 
-    Seeding = md5('h<i>:' || shingle) so every row is an independent
+    Seeding = 4 hex lanes per md5: hash i = lane i%4 (chars [8*(i%4), 8*(i%4)+8)) of md5('s<i//4>:' || shingle) so every row is an independent
     permutation approximation (reproducible in the SQL oracle).
     """
     if n_hashes % rows_per_band:
@@ -276,12 +283,26 @@ def ngram_jaccard_pairs(
     semantics), because each hot shingle is an O(df²) key in the
     self-join. Pass max_df=None to disable (only safe when `candidates`
     restricts the pair set). Returns (doc_a, doc_b, jaccard ≥ threshold).
+
+    When ``candidates`` is given, the shingle table is first
+    semi-joined to the docs that appear in ANY candidate pair — the
+    self-join and count run over candidate docs only, which is the
+    whole point of LSH blocking (round-6 review find: the pair-level
+    semi-join alone ran AFTER the full quadratic stage, so the
+    blocking saved nothing). Per-doc shingle SETS are untouched by a
+    doc_id filter, so sizes and jaccard values are identical.
     """
     if max_df is not None:
         shingle_df = cap_shingle_df(shingle_df, max_df)
     sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingle_df.alias("a")
-    b = shingle_df.alias("b")
+    join_src = shingle_df
+    if candidates is not None:
+        cand_docs = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        join_src = shingle_df.join(cand_docs, "doc_id", "left_semi")
+    a = join_src.alias("a")
+    b = join_src.alias("b")
     common = (
         a.join(
             b,
@@ -683,6 +704,13 @@ def duplicated_spans(
     xxhash64 collision (~N²/2⁶⁴) overcounts one window — the oracle
     groups by the RAW window text, so a collision at test scale would
     hash-fail loudly rather than pass silently.
+
+    EVERY input document gets a row (round-6 review find: docs shorter
+    than k normalized chars used to vanish from the profile): a doc
+    with no length-k window reports n_windows = 0, n_dup_windows = 0,
+    dup_ratio NULL (0/0 is undefined, and NULL is honest — the gate
+    decides the short-doc rule explicitly instead of inheriting a
+    silent omission).
     """
     norm = normalize_text(F.col(text_col))
     base = docs.select(
@@ -698,7 +726,7 @@ def duplicated_spans(
         ).alias("h"),
     )
     hc = w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    return (
+    prof = (
         w.join(hc, "h")
         .groupBy("doc_id")
         .agg(
@@ -712,4 +740,13 @@ def duplicated_spans(
                 6,
             ).alias("dup_ratio"),
         )
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_docs.join(prof, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0).cast("long")).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+            "n_dup_windows"
+        ),
+        "dup_ratio",
     )

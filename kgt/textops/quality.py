@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, functions as F
 from kgt.textops.dedup import normalize_text
 
 # marker words per language for the n-gram/stopword heuristic —
-# deterministic and SQL-reproducible (counts of ' word ' occurrences).
+# deterministic and SQL-reproducible (exact token counts for
+# space-segmented scripts; substring counts for UNSEGMENTED_LANGS).
 # 10 languages × 8 high-frequency function words; cross-language
 # collisions are fine (argmax decides, ties break by code order).
 # The oracle SQL is GENERATED from this dict (__spark_entry__ imports
@@ -29,22 +30,42 @@ LANG_MARKERS = {
 }
 
 
-def _occurrences(padded, word):
-    """Number of occurrences of ' word ' in the padded normalized text."""
-    needle = f" {word} "
+# languages whose scripts don't whitespace-delimit words: marker hits
+# count as SUBSTRING occurrences of the normalized text (space-token
+# matching can never fire on unsegmented CJK — round-6 review find)
+UNSEGMENTED_LANGS = {"zh", "ja"}
+
+
+def _word_count(words, word):
+    """Exact occurrence count of ``word`` among the space-split tokens.
+    (The old replace-arithmetic on ' word ' undercounted ADJACENT
+    repeats — consecutive occurrences share the delimiting space, so
+    'the the the' counted 2 — round-6 review find.)"""
+    return F.size(F.filter(words, lambda t: t == F.lit(word))).cast("long")
+
+
+def _substr_count(norm, marker):
+    """Substring occurrence count of ``marker`` in the normalized text
+    (exact for the single-glyph CJK markers this is used for)."""
     return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
+        (F.length(norm) - F.length(F.replace(norm, F.lit(marker), F.lit(""))))
+        / len(marker)
     ).cast("long")
 
 
 def _language_cols(text_col: str) -> list:
     """language_id's aliased signal expressions (fusable — see
     doc_signals)."""
-    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
     scores = {
         lang: sum(
-            (_occurrences(padded, w) for w in words),
+            (
+                _substr_count(norm, w)
+                if lang in UNSEGMENTED_LANGS
+                else _word_count(toks, w)
+                for w in words
+            ),
             F.lit(0).cast("long"),
         )
         for lang, words in LANG_MARKERS.items()
@@ -108,9 +129,9 @@ def _quality_cols(text_col: str) -> list:
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     n_words = F.size(F.split(F.trim(t), r"\s+"))
-    padded = F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
+    toks = F.split(normalize_text(t), " ")
     stop_hits = sum(
-        (_occurrences(padded, w) for w in ["the", "and", "of", "a", "in"]),
+        (_word_count(toks, w) for w in ["the", "and", "of", "a", "in"]),
         F.lit(0).cast("long"),
     )
     alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
@@ -133,25 +154,24 @@ def _quality_cols(text_col: str) -> list:
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + a composite score in [0,1]:
-    length band, alpha ratio, punctuation density, stopword presence.
-    All ratios rounded to 6dp so oracle comparison is exact."""
+    """Heuristic quality features + a composite score in [0,1] —
+    score = (alpha_ratio + min(stop_ratio·5, 1) + length band) / 3.
+    punct_ratio is emitted as a FEATURE column only (not part of the
+    composite). All ratios rounded to 6dp so oracle comparison is
+    exact."""
     return docs.select(
         F.col(id_col).alias("doc_id"), *_quality_cols(text_col)
     )
 
 
 def _fingerprint_cols(text_col: str) -> list:
-    """fingerprint's aliased signal expressions (fusable)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(words)
-    windows = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(1), n - 7),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 8))),
-        ),
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
+    """fingerprint's aliased signal expressions (fusable). The 8-word
+    rolling windows are dedup's ONE shingling expression with md5
+    mapped over it — not a copy, so window semantics can never drift
+    from the dedup family's."""
+    from kgt.textops.dedup import _shingle_array
+
+    windows = F.transform(_shingle_array(F.col(text_col), 8), F.md5)
     return [
         F.md5(normalize_text(F.col(text_col))).alias("fp_exact"),
         F.array_min(windows).alias("fp_rolling_min"),

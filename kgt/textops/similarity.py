@@ -390,17 +390,20 @@ def auto_n_cells(n_vectors: int, floor: int = 16, ceiling: int = 65536) -> int:
 
 
 def _probe_assignments(
-    embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign
+    embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign,
+    literal_max_cells: int = 256,
 ):
     """(vid, v, vn, cid) multi-probe assignment table shared by
     embedding_near_pairs and embedding_cell_stats — one row per
-    (vector, probed cell). n_cells=None → auto_n_cells(count)."""
+    (vector, probed cell). n_cells=None → auto_n_cells(count);
+    ``literal_max_cells`` is the same auto literal/join crossover dial
+    ivf_topk exposes (it was a magic 256 here — review find)."""
     if centroids is None:
         if n_cells is None:
             n_cells = auto_n_cells(embeddings.count())
         centroids = seed_centroids(embeddings, n_cells, id_col, vec_col)
     if assign == "auto":
-        assign = "literal" if len(centroids) <= 256 else "join"
+        assign = "literal" if len(centroids) <= literal_max_cells else "join"
 
     e = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
@@ -422,6 +425,7 @@ def embedding_cell_stats(
     cell_cap: int = 100_000,
     centroids: list[tuple[int, list[float]]] | None = None,
     assign: str = "auto",
+    literal_max_cells: int = 256,
 ) -> DataFrame:
     """One-row audit of the IVF cell distribution feeding
     embedding_near_pairs: (cells_used, max_cell_rows,
@@ -431,7 +435,8 @@ def embedding_cell_stats(
     Voronoi cell, and this row is how you see the cap working instead
     of discovering the skew as a straggler task."""
     e = _probe_assignments(
-        embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign
+        embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign,
+        literal_max_cells,
     )
     per_cell = e.groupBy("cid").agg(F.count("*").alias("n"))
     return per_cell.agg(
@@ -457,6 +462,7 @@ def embedding_near_pairs(
     centroids: list[tuple[int, list[float]]] | None = None,
     assign: str = "auto",
     cell_cap: int = 100_000,
+    literal_max_cells: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
     vec_a < vec_b and rounded cosine ≥ threshold.
@@ -484,7 +490,8 @@ def embedding_near_pairs(
     corpus (auto_n_cells ≈ √N) instead of a fixed 16.
     """
     e = _probe_assignments(
-        embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign
+        embeddings, id_col, vec_col, n_cells, nprobe, centroids, assign,
+        literal_max_cells,
     )
     big = (
         e.groupBy("cid")

@@ -376,7 +376,8 @@ def test_unigram_logprob_hand_computed(spark):
 def test_duplicated_spans_profile(spark):
     """Span-level dedup (Lee et al. style k-gram fingerprints): exact
     copies hit ratio 1.0, docs sharing a long prefix mark exactly the
-    shared windows, unique docs sit at 0, short docs drop out."""
+    shared windows, unique docs sit at 0, short docs report an empty
+    profile (round 6 — they used to drop out)."""
     from kgt.textops.dedup import duplicated_spans
 
     shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
@@ -389,7 +390,8 @@ def test_duplicated_spans_profile(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in duplicated_spans(docs, k=30).collect()}
-    assert set(got) == {1, 2, 3, 4}  # doc 5 shorter than k drops out
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5]["n_windows"] == 0 and got[5]["dup_ratio"] is None
     assert got[1]["dup_ratio"] == 1.0 and got[4]["dup_ratio"] == 1.0
     assert got[3]["dup_ratio"] == 0.0
     # docs 1/2: every window fully inside the true common prefix
@@ -399,3 +401,91 @@ def test_duplicated_spans_profile(spark):
     common = len(os.path.commonprefix([rows[0][1], rows[1][1]]))
     assert got[2]["n_dup_windows"] == common - 30 + 1
     assert 0 < got[2]["dup_ratio"] < 1
+
+
+def test_langid_cjk_and_adjacent_word_counts(spark):
+    """Round-6 review finds: (a) zh/ja markers must match UNSEGMENTED
+    CJK text (substring counting — space-token matching never fires);
+    (b) adjacent repeated words count exactly ('the the the' = 3, the
+    old padded-replace arithmetic counted 2)."""
+    from kgt.textops.quality import language_id, quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "这是一个测试的例子，的确是的。"),
+            (2, "の例です。これはテストのためのものです。"),
+            (3, "the the the"),
+            (4, "a a"),
+            (5, "the quick brown fox and the lazy dog of the farm"),
+        ],
+        "doc_id long, text string",
+    )
+    lang = {r["doc_id"]: r for r in language_id(docs).collect()}
+    assert lang[1]["lang_pred"] == "zh" and lang[1]["marker_hits"] >= 3
+    assert lang[2]["lang_pred"] == "ja" and lang[2]["marker_hits"] >= 3
+    assert lang[3]["marker_hits"] == 3  # exact adjacent count
+    assert lang[5]["lang_pred"] == "en"
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[3]["stop_ratio"] == 1.0  # 3 'the' / 3 words
+    assert q[4]["stop_ratio"] == 1.0  # 2 'a' / 2 words
+
+
+def test_duplicated_spans_covers_short_docs(spark):
+    """Round-6 review find: docs shorter than k normalized chars must
+    still get a profile row (n_windows 0, dup_ratio NULL), not vanish."""
+    from kgt.textops.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 50), (2, "x" * 50), (3, "tiny"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, k=30).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["dup_ratio"] == 1.0  # exact copies share all windows
+    for d in (3, 4):
+        assert got[d]["n_windows"] == 0
+        assert got[d]["n_dup_windows"] == 0
+        assert got[d]["dup_ratio"] is None
+
+
+def test_exact_duplicates_ignores_null_text(spark):
+    """Round-6 review find: NULL texts must not collapse into one giant
+    'duplicate' group (md5(NULL) = NULL and groupBy equates NULLs)."""
+    from kgt.textops.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "same"), (5, "same"), (6, "")],
+        "doc_id long, text string",
+    )
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1  # only the real 'same' pair
+    assert got[0]["n_docs"] == 2 and got[0]["keep_doc_id"] == 4
+
+
+def test_ngram_jaccard_candidate_pushdown_equivalence(spark):
+    """Round-6 review find: with `candidates`, the shingle self-join now
+    runs over candidate docs only — results must be IDENTICAL to the
+    unrestricted run filtered to the candidate pairs."""
+    from kgt.textops.dedup import ngram_jaccard_pairs, shingles
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+        (4, "one two three four five six seven nine"),
+        (5, "completely different content with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = shingles(docs)
+    cands = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long"
+    )
+    blocked = ngram_jaccard_pairs(sh, threshold=0.3, candidates=cands)
+    full = ngram_jaccard_pairs(sh, threshold=0.3)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in full.collect()
+        if (r["doc_a"], r["doc_b"]) == (1, 2)
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in blocked.collect()}
+    assert got == want and (1, 2) in got
