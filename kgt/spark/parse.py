@@ -110,17 +110,25 @@ def extract_triples(
     rdfstar: bool = False,
     skolem_salt: str | None = DEFAULT_SKOLEM_SALT,
     max_doc_chars: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Full extraction: reassembled docs → one row per statement/error.
 
     Returns the union frame (kind 'T'|'E'); use `triples()` / `errors()`
     to split. All parse options are closure-captured (tiny — no
     broadcast needed; the per-document prefix/base env lives inside the
-    parser, SURVEY §1.4).
+    parser, SURVEY §1.4). ``num_partitions`` sizes the CPU-bound parse
+    stage (reassemble's docs/CPU knob — it was documented but not
+    reachable from this public entry point).
     """
-    docs = reassemble(transcripts)
+    docs = reassemble(transcripts, num_partitions=num_partitions)
     quarantined = None
     if max_doc_chars is not None:
+        # materialize the reassembly ONCE: the ok/bad split is two
+        # filters over the same aggregation, and without pinning it the
+        # shuffle-read + groupBy would execute per branch (the size-cap
+        # guardrail used to double the reassembly stage)
+        docs = docs.localCheckpoint(eager=False)
         docs, quarantined = quarantine_oversized(docs, max_doc_chars)
     out = parse_documents(
         docs,

@@ -93,10 +93,26 @@ def parse_batch(
     enc_memo: dict = {}
     memo_get = enc_memo.get
 
+    # per-document skolem memo: a bnode (property-list head, collection
+    # cell) typically appears in several statements of its conversation
+    # — hash 'salt:conv:label' once per (doc, label), not per occurrence
+    # (the same repeated-term reason the batch-level enc_memo exists)
+    bnode_memo: dict = {}
+    bmemo_get = bnode_memo.get
+
     def enc(term, conv_id):
         kind = term[0]
-        if kind == "B" or kind == "Q":
-            return _encode_term(term, conv_id, skolem_salt)
+        if kind == "B":
+            got = bmemo_get(term)
+            if got is None:
+                got = _encode_term(term, conv_id, skolem_salt)
+                bnode_memo[term] = got
+            return got
+        if kind == "Q":
+            return (
+                f"<< {enc(term[1], conv_id)} {enc(term[2], conv_id)} "
+                f"{enc(term[3], conv_id)} >>"
+            )
         got = memo_get(term)
         if got is None:
             got = nt_encode(term)
@@ -108,6 +124,7 @@ def parse_batch(
     for conv_id, text in zip(conv_ids, texts):
         if text is None:
             text = ""
+        bnode_memo.clear()  # skolem labels are conv_id-scoped
         stmts, errors = parser.parse(text)
         if validate and errors:
             stmts = []

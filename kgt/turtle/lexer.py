@@ -42,6 +42,19 @@ _TERMINALS = [
     ("LANG_DIR", T.LANG_DIR),
 ]
 
+# Terminals the reference lexes with unescape: true (reader.rb:16-25) —
+# the ONE list both the fused path and the <3.11 two-step fallback use.
+_UNESCAPE_TYPES = frozenset(
+    [
+        "IRIREF",
+        "PNAME_LN",
+        "STRING_LITERAL_LONG_SINGLE_QUOTE",
+        "STRING_LITERAL_LONG_QUOTE",
+        "STRING_LITERAL_QUOTE",
+        "STRING_LITERAL_SINGLE_QUOTE",
+    ]
+)
+
 _SCANNER = re.compile(
     "|".join(f"(?P<{name}>{pattern})" for name, pattern in _TERMINALS)
 )
@@ -74,26 +87,7 @@ if _SCANNER_WS is not None:
     for _name, _ in _TERMINALS:
         _gi = _SCANNER_WS.groupindex[_name]
         _EMIT[_gi] = None if _name == "PUNCT" else _name
-        _UNESC[_gi] = _name in {
-            "IRIREF",
-            "PNAME_LN",
-            "STRING_LITERAL_LONG_SINGLE_QUOTE",
-            "STRING_LITERAL_LONG_QUOTE",
-            "STRING_LITERAL_QUOTE",
-            "STRING_LITERAL_SINGLE_QUOTE",
-        }
-
-# Terminals the reference lexes with unescape: true (reader.rb:16-25).
-_UNESCAPE_TYPES = frozenset(
-    [
-        "IRIREF",
-        "PNAME_LN",
-        "STRING_LITERAL_LONG_SINGLE_QUOTE",
-        "STRING_LITERAL_LONG_QUOTE",
-        "STRING_LITERAL_QUOTE",
-        "STRING_LITERAL_SINGLE_QUOTE",
-    ]
-)
+        _UNESC[_gi] = _name in _UNESCAPE_TYPES
 
 _ECHAR_MAP = {
     "t": "\t",

@@ -73,8 +73,13 @@ STRING_LITERAL_LONG_QUOTE = rf'"""(?:(?:"|"")?(?:[^"\\]|{ECHAR}|{UCHAR}))*"""'
 STRING_LITERAL_LONG_SINGLE_QUOTE = rf"'''(?:(?:'|'')?(?:[^'\\]|{ECHAR}|{UCHAR}))*'''"
 
 # --- misc --------------------------------------------------------------
-WS = r"(?:\s|#[^\n\r]*)+"                                # (161s) incl. comments
-ANON = r"\[(?:\s|#[^\n\r]*)*\]"                          # (162s)
+# ASCII whitespace ONLY: the reference's Ruby \s (terminals.rb:68) is
+# ASCII [ \t\n\v\f\r]; Python's \s is Unicode-aware and would accept
+# NEL/NBSP/U+2028 etc. as token separators the reference rejects
+# (round-6 review find — parity break, malformed docs parsed clean)
+_WS_CHAR = r"[ \t\n\v\f\r]"
+WS = rf"(?:{_WS_CHAR}|#[^\n\r]*)+"                       # (161s) incl. comments
+ANON = rf"\[(?:{_WS_CHAR}|#[^\n\r]*)*\]"                 # (162s)
 LANG_DIR = r"@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*(?:--[a-zA-Z]+)?"  # (144s)
 PREFIX_KW = r"@?[Pp][Rr][Ee][Ff][Ii][Xx]"                # (28t) case-insensitive
 BASE_KW = r"@?[Bb][Aa][Ss][Ee]"                          # (29t)

@@ -147,3 +147,19 @@ class TestWhitespaceAndComments:
 def test_unescape_function():
     assert unescape(r"\u0041\U00000042\n") == "AB\n"
     assert unescape("plain") == "plain"
+
+
+def test_ws_is_ascii_only_reference_parity():
+    """terminals.rb:68 WS uses Ruby \\s = ASCII [ \\t\\n\\v\\f\\r];
+    Python's Unicode-aware \\s accepted NEL/NBSP/U+2028 as separators
+    the reference rejects (round-6 review find). Exact parity: the
+    Ruby set including \\f and \\v, nothing above ASCII."""
+    from kgt.turtle import TurtleParser
+
+    doc = "<urn:s>{0}<urn:p>{0}<urn:o>{0}."
+    for sep in ("\x85", "\xa0", " ", "　"):
+        _, errs = TurtleParser().parse(doc.format(sep))
+        assert errs, f"{sep!r} accepted as whitespace"
+    for sep in (" ", "\t", "\r", "\n", "\x0c", "\x0b"):
+        stmts, errs = TurtleParser().parse(doc.format(sep))
+        assert not errs and len(stmts) == 1, (repr(sep), errs[:1])
