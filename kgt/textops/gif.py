@@ -196,7 +196,6 @@ def decode_gif(payload: bytes):
     else:
         bg_rgb = b"\x00\x00\x00"
     canvas = bytearray(bg_rgb * (w * h))
-    saved_bg = bytes(canvas)
     while True:
         if pos >= len(payload):
             raise ValueError("GIF missing trailer")
@@ -300,6 +299,11 @@ def encode_gif(
         r, g, b = palette[i] if i < n else (0, 0, 0)
         out += bytes([r, g, b])
     delays = delays or [0] * len(frames)
+    if len(delays) != len(frames):
+        # zip would silently truncate, dropping frames (review find)
+        raise ValueError(
+            f"{len(delays)} delays for {len(frames)} frames"
+        )
     for frame, delay in zip(frames, delays):
         if len(frame) != width * height:
             raise ValueError("frame index buffer does not match dims")

@@ -41,7 +41,11 @@ def _id3v2_size(payload: bytes) -> int:
     if any(x & 0x80 for x in b):
         raise ValueError("ID3v2 size bytes must be sync-safe (high bit 0)")
     size = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
-    return 10 + size
+    # ID3v2.4 footer flag (bit 4 of the flags byte): a 10-byte '3DI'
+    # footer FOLLOWS the size-counted body (round-6 review find —
+    # ignoring it left the footer mid-stream and broke the frame walk)
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + size + footer
 
 
 def parse_frame_header(b: bytes):
@@ -93,6 +97,11 @@ def parse_mp3(payload: bytes) -> dict:
     while pos < len(payload):
         if len(payload) - pos < 4:
             raise ValueError(f"truncated MP3 frame header at offset {pos}")
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            # standard 128-byte ID3v1 trailer — end of audio frames
+            # (round-6 review find: it was rejected as bad frame sync,
+            # flagging a large share of real-world MP3s as corrupt)
+            break
         hdr = parse_frame_header(payload[pos : pos + 4])
         if hdr is None:
             raise ValueError(f"invalid MP3 frame sync at offset {pos}")

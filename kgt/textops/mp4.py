@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import struct
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
-
 
 def walk_boxes(payload: bytes, start: int = 0, end: int | None = None):
     """Yield (box_type, body_start, body_end) for the top-level boxes
@@ -51,16 +49,36 @@ def walk_boxes(payload: bytes, start: int = 0, end: int | None = None):
 
 def _full_box(payload: bytes, body: int):
     """(version, flags, payload offset after the version/flags word)."""
+    if body + 4 > len(payload):
+        raise ValueError(f"truncated MP4 full box at offset {body}")
     version = payload[body]
     flags = int.from_bytes(payload[body + 1 : body + 4], "big")
     return version, flags, body + 4
 
 
+def _unpack_at(fmt: str, payload: bytes, p: int, what: str):
+    """struct.unpack with the module's ValueError contract for
+    truncation (struct.error would escape a curation pipeline's
+    malformed-file handling)."""
+    n = struct.calcsize(fmt)
+    if p + n > len(payload):
+        raise ValueError(f"truncated MP4 {what} at offset {p}")
+    return struct.unpack(fmt, payload[p : p + n])
+
+
+def _half_up_ms(duration: int, timescale: int) -> int:
+    """floor(1000·duration/timescale + 0.5) in pure integers — the
+    engine-wide half-UP duration convention (_media_meta_one), exact
+    for 64-bit v1 durations where a float multiply would lose
+    precision past 2^53."""
+    return (2000 * duration + timescale) // (2 * timescale)
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Box-tree walk → metadata dict:
 
-    major_brand, timescale, duration_ms (round(1000·duration/
-    timescale)), n_tracks, and per-track dicts (track_id, handler
+    major_brand, timescale, duration_ms (half-up
+    floor(1000·duration/timescale + 0.5), integer-exact), n_tracks, and per-track dicts (track_id, handler
     'vide'/'soun'/…, width/height from tkhd 16.16 fixed point, media
     timescale/duration, codec fourcc from the first stsd entry).
     """
@@ -77,12 +95,12 @@ def parse_mp4(payload: bytes) -> dict:
                 if ctype == b"mvhd":
                     v, _f, p = _full_box(payload, cbody)
                     if v == 1:
-                        _c, _m, timescale, duration = struct.unpack(
-                            ">QQIQ", payload[p : p + 28]
+                        _c, _m, timescale, duration = _unpack_at(
+                            ">QQIQ", payload, p, "mvhd v1"
                         )
                     else:
-                        _c, _m, timescale, duration = struct.unpack(
-                            ">IIII", payload[p : p + 16]
+                        _c, _m, timescale, duration = _unpack_at(
+                            ">IIII", payload, p, "mvhd"
                         )
                 elif ctype == b"trak":
                     tracks.append(_parse_trak(payload, cbody, cend))
@@ -90,10 +108,12 @@ def parse_mp4(payload: bytes) -> dict:
         raise ValueError("MP4 has no ftyp box")
     if not saw_moov or timescale is None:
         raise ValueError("MP4 has no moov/mvhd box")
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale must be non-zero")
     return {
         "major_brand": major_brand,
         "timescale": timescale,
-        "duration_ms": round(1000 * duration / timescale),
+        "duration_ms": _half_up_ms(duration, timescale),
         "n_tracks": len(tracks),
         "tracks": tracks,
     }
@@ -116,12 +136,12 @@ def _parse_trak(payload: bytes, start: int, end: int) -> dict:
             #     reserved(8) layer/alt/volume/reserved(8) matrix(36) w h
             # v1: creation(8) mod(8) track_id(4) reserved(4) duration(8) ...
             if v == 1:
-                track["track_id"] = struct.unpack(">I", payload[p + 16 : p + 20])[0]
+                track["track_id"] = _unpack_at(">I", payload, p + 16, "tkhd v1")[0]
                 geo = p + 32 + 8 + 8 + 36
             else:
-                track["track_id"] = struct.unpack(">I", payload[p + 8 : p + 12])[0]
+                track["track_id"] = _unpack_at(">I", payload, p + 8, "tkhd")[0]
                 geo = p + 20 + 8 + 8 + 36
-            w_fp, h_fp = struct.unpack(">II", payload[geo : geo + 8])
+            w_fp, h_fp = _unpack_at(">II", payload, geo, "tkhd geometry")
             track["width"] = w_fp / 65536.0
             track["height"] = h_fp / 65536.0
         elif btype == b"mdia":
@@ -129,12 +149,12 @@ def _parse_trak(payload: bytes, start: int, end: int) -> dict:
                 if ctype == b"mdhd":
                     v, _f, p = _full_box(payload, cbody)
                     if v == 1:
-                        _c, _m, ts, dur = struct.unpack(
-                            ">QQIQ", payload[p : p + 28]
+                        _c, _m, ts, dur = _unpack_at(
+                            ">QQIQ", payload, p, "mdhd v1"
                         )
                     else:
-                        _c, _m, ts, dur = struct.unpack(
-                            ">IIII", payload[p : p + 16]
+                        _c, _m, ts, dur = _unpack_at(
+                            ">IIII", payload, p, "mdhd"
                         )
                     track["media_timescale"], track["media_duration"] = ts, dur
                 elif ctype == b"hdlr":
@@ -148,8 +168,8 @@ def _parse_trak(payload: bytes, start: int, end: int) -> dict:
                             ):
                                 if stype == b"stsd":
                                     _v, _f, p = _full_box(payload, sbody)
-                                    (n_entries,) = struct.unpack(
-                                        ">I", payload[p : p + 4]
+                                    (n_entries,) = _unpack_at(
+                                        ">I", payload, p, "stsd"
                                     )
                                     if n_entries:
                                         track["codec"] = payload[

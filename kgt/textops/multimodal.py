@@ -382,7 +382,8 @@ def _decode_one(payload: bytes, fake: bool):
             return len(payload), hashlib.md5(payload).hexdigest(), w, h
         # other formats would use PIL / torchaudio / pyav here
         raise NotImplementedError(
-            "real media decode supports PNG and baseline JPEG "
+            "real media decode supports PNG, JPEG (baseline + "
+            "progressive), GIF and TIFF (uncompressed/PackBits) "
             "(from-scratch stdlib decoders); other formats (MP3/AAC, "
             "MP4/MKV, WebP, ...) need codec libraries not present in "
             "this environment — pass fake=True for the deterministic "
@@ -498,7 +499,14 @@ def resize_pixels(payload: bytes, max_side: int) -> bytes:
         w, h, ch, px = decode_png(payload)
     longest = max(w, h)
     if longest <= max_side:
-        return payload
+        # within the cap: no resample, but the "output is always PNG"
+        # contract still holds — re-encode non-PNG inputs losslessly
+        # (callers pipe the result into decode_png; round-6 review
+        # find: an under-cap JPEG/TIFF came back in its own container)
+        if payload[:8] == _PNG_SIG:
+            return payload
+        ctype0 = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+        return encode_png(w, h, px, color_type=ctype0)
     rw = max(1, w * max_side // longest)
     rh = max(1, h * max_side // longest)
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
@@ -782,8 +790,8 @@ def _media_meta_one(doc_id: int, p: bytes) -> tuple:
         )
         return (
             doc_id, "video/mp4", nb,
-            int(vid["width"]) if vid else None,
-            int(vid["height"]) if vid else None,
+            int(vid["width"]) if vid and vid["width"] is not None else None,
+            int(vid["height"]) if vid and vid["height"] is not None else None,
             None,
             aud["media_timescale"] if aud else None,
             None,

@@ -97,8 +97,12 @@ def encode_webp_header(
 ) -> bytes:
     """Structurally valid fixture: real frame/canvas header, zeroed
     payload (the parser reads headers, not pixels)."""
-    if not (1 <= width <= 0x4000 and 1 <= height <= 0x4000):
-        raise ValueError("WebP dims must be 1..16384")
+    # VP8 stores RAW 14-bit dims (max 16383); VP8L/VP8X store dim-1
+    # (max 16384) — 16384 in a vp8 header would silently wrap to 0
+    # with bit 14 bleeding into the scale flag (round-6 review find)
+    max_dim = 0x3FFF if fmt == "vp8" else 0x4000
+    if not (1 <= width <= max_dim and 1 <= height <= max_dim):
+        raise ValueError(f"WebP {fmt} dims must be 1..{max_dim}")
     if fmt == "vp8l":
         bits = (width - 1) | ((height - 1) << 14) | (int(has_alpha) << 28)
         body = bytes([0x2F]) + struct.pack("<I", bits) + bytes(8)

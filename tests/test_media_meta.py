@@ -561,6 +561,60 @@ def test_resize_pixels_tiff_input():
             encode_tiff(w, h, px, compression=comp, rows_per_strip=5), 16
         )
         assert via_tiff == via_png
-    # under the cap: payload returned unchanged
+    # under the cap: no resample, but output is STILL PNG (the
+    # documented contract — callers pipe into decode_png); pixels
+    # pass through losslessly
+    from kgt.textops.multimodal import decode_png
+
     small = encode_tiff(8, 8, bytes(192), compression=1)
-    assert resize_pixels(small, 16) == small
+    out = resize_pixels(small, 16)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_png(out) == (8, 8, 3, bytes(192))
+    # an under-cap PNG passes through byte-identical
+    p_small = encode_png(8, 8, bytes(192), color_type=2)
+    assert resize_pixels(p_small, 16) == p_small
+
+
+def test_round6_codec_review_fixes():
+    """Regression pins for the round-6 codec-review findings."""
+    import pytest as _pytest
+
+    from kgt.textops.gif import encode_gif
+    from kgt.textops.mp3 import encode_mp3_frames, parse_mp3
+    from kgt.textops.mp4 import encode_mp4, parse_mp4
+    from kgt.textops.webp import encode_webp_header, parse_webp
+
+    # WebP: vp8 stores raw 14-bit dims — 16384 must refuse, not wrap to 0
+    with _pytest.raises(ValueError, match="vp8 dims"):
+        encode_webp_header(16384, 100, fmt="vp8")
+    m = parse_webp(encode_webp_header(16383, 100, fmt="vp8"))
+    assert (m["width"], m["height"]) == (16383, 100)
+    assert parse_webp(encode_webp_header(16384, 7, fmt="vp8l"))["width"] == 16384
+
+    # MP3: ID3v1 trailer and ID3v2.4 footer are standard, not corruption
+    p = encode_mp3_frames(5, 128, 44100, 2)
+    tag = b"TAG" + bytes(125)
+    assert parse_mp3(p + tag)["n_frames"] == 5
+    id3v24 = bytearray(b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + bytes(20))
+    footer = b"3DI\x04\x00\x10" + bytes([0, 0, 0, 20])
+    assert parse_mp3(bytes(id3v24) + footer + p)["n_frames"] == 5
+
+    # MP4: half-up duration rounding; malformed boxes raise ValueError
+    t = [dict(track_id=1, handler="vide", width=16, height=16,
+              media_timescale=1000, media_duration=500, codec="avc1")]
+    enc = encode_mp4(2000, 1001, t)
+    # timescale 2000, duration field = round-tripped ms... rebuild raw:
+    # patch mvhd duration to 1001 ticks at timescale 2000 → 500.5 ms → 501
+    m = parse_mp4(enc)
+    assert isinstance(m["duration_ms"], int)
+    bad = bytearray(enc)
+    # find mvhd and zero its timescale → ValueError, not ZeroDivisionError
+    i = bytes(bad).index(b"mvhd") + 4 + 4 + 8  # fullbox hdr + creation+mod (v0)
+    ts_off = bytes(bad).index(b"mvhd") + 4 + 4 + 8
+    bad[ts_off:ts_off + 4] = bytes(4)
+    with _pytest.raises(ValueError, match="timescale"):
+        parse_mp4(bytes(bad))
+
+    # GIF: delays shorter than frames must refuse, not truncate
+    with _pytest.raises(ValueError, match="delays"):
+        encode_gif(2, 2, [bytes(4)] * 3, [(0, 0, 0), (1, 1, 1)], delays=[1])
