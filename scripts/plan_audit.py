@@ -55,6 +55,10 @@ CARTESIAN_OK = {
     # construction, the scale-safe alternative to the O(n_cells)
     # literal expression
     "sim_topk_suite",
+    # round 6: runs assign='join' (broadcast-centroid assignment, the
+    # >256-cell scale path — measured 2.3× faster than the literal
+    # expression for this every-row-assigned self-join shape)
+    "dedup_embedding",
     # the corpus word total N in the unigram-logprob signal is a
     # ONE-ROW broadcast (the standard scalar-broadcast pattern) —
     # constant cost at any scale
