@@ -473,3 +473,59 @@ def test_fill_bytes_before_markers():
     pr = encode_jpeg(32, 16, bytes(32 * 16 * 3), restart_interval=1)
     j = pr.index(b"\xff\xd0")
     assert decode_jpeg(pr[:j] + b"\xff" + pr[j:]) == decode_jpeg(pr)
+
+
+def test_malformed_streams_keep_the_valueerror_contract():
+    """Round-6 review finds: attacker-controlled malformed bytes must
+    raise ValueError/NotImplementedError, never IndexError /
+    ZeroDivisionError / struct.error."""
+    base = encode_jpeg(8, 8, bytes(192), quality=75)
+
+    def patched(marker, mutate):
+        i = base.index(marker)
+        b = bytearray(base)
+        mutate(b, i)
+        return bytes(b)
+
+    # overfull canonical spec: three 1-bit codes cannot exist
+    from kgt.textops.jpeg import _decode_lut
+
+    with pytest.raises(ValueError, match="overfull"):
+        _decode_lut((3,) + (0,) * 15, (0, 1, 2))
+    # zero sampling factor in SOF
+    i = base.index(b"\xff\xc0")
+    b = bytearray(base)
+    b[i + 2 + 2 + 6 + 1] = 0x00  # first component's Hi/Vi nibble pair
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(b))
+    # SOF with a lying (short) length field
+    b = bytearray(base)
+    b[i + 2 : i + 4] = (5).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+    # 4-component frames reject EARLY with the honest gap message
+    b = bytearray(base)
+    with pytest.raises(NotImplementedError, match="components"):
+        bb = bytearray(base)
+        bb[i + 2 + 2 + 5] = 4  # ncomp byte
+        decode_jpeg(bytes(bb))
+
+
+def test_bitwriter_is_linear_and_cache_bounded():
+    """Round-6 review finds: the entropy accumulator must not grow into
+    an all-bits bigint (O(n²) encode), and the LUT cache must stay
+    bounded under per-image Huffman tables."""
+    from kgt.textops.jpeg import _BitWriter, _LUT_CACHE, _decode_lut
+
+    bw = _BitWriter()
+    for i in range(100_000):
+        bw.write(i & 0x3F, 7)
+    assert bw.acc.bit_length() <= 8  # never more than the residue
+    assert len(bw.flush()) >= 80_000
+
+    _LUT_CACHE.clear()
+    for n in range(70):  # distinct tables, more than the 64 cap
+        bits = [0] * 16
+        bits[7] = 2
+        _decode_lut(tuple(bits), (n & 0xFF, (n + 1) & 0xFF))
+    assert len(_LUT_CACHE) <= 64
