@@ -49,11 +49,13 @@ def _bnodes_extracted(spark, sf_dir):
     return extract_triples(customer_bnode_transcripts(spark, sf_dir))
 
 
-_shingle_cache: dict = {}
+import weakref as _weakref
+
+_shingle_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 # working dirs of streaming_near_dup runs (previous run cleaned at the
 # next invocation; the last at interpreter exit)
 _stream_gate_dirs: list = []
-_recovery_cache: dict = {}
+_recovery_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _recovery_extracted(spark, sf_dir):
@@ -63,13 +65,15 @@ def _recovery_extracted(spark, sf_dir):
     without sharing each re-parses the full corpus. Same localCheckpoint
     pattern as `_dup_shingles`; at 100 TB this is the staged
     triples/errors table the lineage sink already persists."""
-    key = (id(spark), sf_dir)
-    df = _recovery_cache.get(key)
+    per_session = _recovery_cache.get(spark)
+    if per_session is None:
+        per_session = _recovery_cache[spark] = {}
+    df = per_session.get(sf_dir)
     if df is None:
         df = _orders_extracted(spark, sf_dir, with_errors=True).localCheckpoint(
             eager=False
         )
-        _recovery_cache[key] = df
+        per_session[sf_dir] = df
     return df
 
 
@@ -84,11 +88,17 @@ def _dup_shingles(spark, sf_dir):
     share one materialization instead of three."""
     from kgt.textops.dedup import shingles
 
-    key = (id(spark), sf_dir)
-    df = _shingle_cache.get(key)
+    # keyed by a WEAK session ref, not id(spark): CPython reuses ids
+    # after GC, so a new session could alias a dead session's cached
+    # checkpointed frames (review find); dead-session entries also
+    # drop out instead of accumulating
+    per_session = _shingle_cache.get(spark)
+    if per_session is None:
+        per_session = _shingle_cache[spark] = {}
+    df = per_session.get(sf_dir)
     if df is None:
         df = shingles(_dup_corpus(spark, sf_dir)).localCheckpoint(eager=False)
-        _shingle_cache[key] = df
+        per_session[sf_dir] = df
     return df
 
 
@@ -267,12 +277,9 @@ def _q_kg_entity_links(spark, sf_dir):
     from kgt.spark.transcripts import orders_transcripts
 
     tx = orders_transcripts(spark, sf_dir)
-    dict_rows = [
-        ("user", "urn:agent:user"),
-        ("assistant", "urn:agent:assistant"),
-        ("tool", "urn:agent:tool"),
-        ("turtle_emitter", "urn:tool:turtle_emitter"),
-    ]
+    from kgt.spark.link import DEFAULT_AGENT_DICT
+
+    dict_rows = [(sf, iri) for sf, iri, _k in DEFAULT_AGENT_DICT]
     iri_dict = spark.createDataFrame(dict_rows, "surface string, iri string")
     linked = link_mentions(detect_mentions(tx), iri_dict)
     return (
@@ -290,13 +297,10 @@ def _q_kg_mention_triples(spark, sf_dir):
     from kgt.spark.transcripts import orders_transcripts
 
     tx = orders_transcripts(spark, sf_dir)
+    from kgt.spark.link import DEFAULT_AGENT_DICT
+
     iri_dict = spark.createDataFrame(
-        [
-            ("user", "urn:agent:user"),
-            ("assistant", "urn:agent:assistant"),
-            ("tool", "urn:agent:tool"),
-            ("turtle_emitter", "urn:tool:turtle_emitter"),
-        ],
+        [(sf, iri) for sf, iri, _k in DEFAULT_AGENT_DICT],
         "surface string, iri string",
     )
     t = mentions_to_triples(link_mentions(detect_mentions(tx), iri_dict))
@@ -680,10 +684,11 @@ def _q_part_projection(spark, sf_dir):
     """Filter+projection pushdown demo over part (plan check: scan reads
     only 2 columns and carries PushedFilters)."""
     part = _read(spark, sf_dir, "part")
-    cols = part.columns
-    size_col = "p_size" if "p_size" in cols else cols[-1]
+    # no column fallback: the oracle hardcodes p_size, so a missing
+    # column must fail fast here (unresolved column) instead of
+    # silently projecting something else into a hash mismatch
     return (
-        part.select("p_partkey", F.col(size_col).alias("size_attr"))
+        part.select("p_partkey", F.col("p_size").alias("size_attr"))
         .filter(F.col("p_partkey") % 10 == 3)
     )
 
@@ -3049,7 +3054,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # unified media scan: per-format CASE of the same closed forms the
-    # individual codec oracles use; t = doc_id%7 routes the format
+    # individual codec oracles use; t = doc_id%9 routes the format
     sqls["multimodal_media_meta"] = """
         WITH d AS (
           SELECT doc_id, doc_id % 9 AS t, length(text) AS L FROM documents

@@ -122,6 +122,7 @@ def main(argv=None, stop_session=True):
         from pyspark.sql import functions as F
 
         from kgt.spark.link import (
+            DEFAULT_AGENT_DICT,
             build_iri_dictionary,
             detect_mentions,
             fuzzy_link,
@@ -133,12 +134,7 @@ def main(argv=None, stop_session=True):
             dict_src = spark.read.parquet(args.dict)
         else:
             dict_src = spark.createDataFrame(
-                [
-                    ("user", "urn:agent:user", "agent"),
-                    ("assistant", "urn:agent:assistant", "agent"),
-                    ("tool", "urn:agent:tool", "agent"),
-                    ("turtle_emitter", "urn:tool:turtle_emitter", "tool"),
-                ],
+                DEFAULT_AGENT_DICT,
                 "surface string, iri string, kind string",
             )
         iri_dict = build_iri_dictionary(dict_src)
@@ -156,7 +152,10 @@ def main(argv=None, stop_session=True):
         )
         mention_triples = mentions_to_triples(resolved).withColumn(
             "stmt_idx", F.col("stmt_idx").cast("long")
-        )
+        ).localCheckpoint(eager=False)
+        # materialized ONCE: the count below and the materialize union
+        # both consume it (the uncached plan re-ran the whole
+        # detect/link/LSH pipeline twice — review find)
         n_mentions = mention_triples.count()
         print(f"linking: {n_mentions} mention triples", file=sys.stderr)
         triples = triples.unionByName(mention_triples)

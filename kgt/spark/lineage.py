@@ -45,9 +45,18 @@ def stage_input(transcripts: DataFrame, out_dir: str, n_chunks: int) -> None:
         .partitionBy("chunk")
         .parquet(f"{out_dir}/staged")
     )
+    # record the staging fan-out: resume MUST use the same n_chunks
+    # (a different value would silently skip staged chunks >= n_chunks
+    # and clobber other batches' output — round-6 review find)
+    spark = transcripts.sparkSession
+    spark.createDataFrame([(int(n_chunks),)], "n_chunks int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out_dir}/_meta")
 
 
 def completed_chunks(spark: SparkSession, out_dir: str) -> set[int]:
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
@@ -58,7 +67,10 @@ def completed_chunks(spark: SparkSession, out_dir: str) -> set[int]:
             .collect()
         )
         return {r["chunk"] for r in rows}
-    except Exception:
+    except AnalysisException:
+        # no lineage yet (fresh run). Anything else — IO errors, a
+        # corrupt parquet — propagates: swallowing it would silently
+        # re-parse the whole job as if from scratch (review find)
         return set()
 
 
@@ -88,7 +100,30 @@ def run_extraction(
     the outputs of the batch containing that chunk but before any of
     the batch's lineage records — the crash point tests must survive.
     """
+    from pyspark.errors import AnalysisException
+
     from kgt.spark.parse import parse_documents, reassemble
+
+    try:
+        staged_n = spark.read.parquet(f"{out_dir}/_meta").collect()[0][
+            "n_chunks"
+        ]
+    except AnalysisException:
+        staged_n = None  # pre-meta staging layout
+    if staged_n is not None and staged_n != n_chunks:
+        raise ValueError(
+            f"staged with n_chunks={staged_n} but run requested "
+            f"{n_chunks}; resume must reuse the staging fan-out"
+        )
+    opts = parse_options or {}
+    # the fast path has no base/prefix/validate/canonicalize machinery
+    # — routing through it with those options set would silently
+    # diverge from the grammar path (relative IRIs unresolved, no
+    # validation); fall back to all-grammar instead (review find)
+    fastpath_ok = use_fastpath and not any(
+        opts.get(k)
+        for k in ("base_uri", "prefixes", "validate", "canonicalize")
+    )
 
     done = completed_chunks(spark, out_dir)
     pending = [c for c in range(n_chunks) if c not in done]
@@ -104,7 +139,7 @@ def run_extraction(
             F.col("chunk").isin([int(c) for c in batch])
         )
         docs = reassemble(part.select("conv_id", "turn_idx", "text"))
-        if use_fastpath:
+        if fastpath_ok:
             from kgt.spark.fastpath import is_regular_doc, parse_fastpath
 
             regular = docs.filter(is_regular_doc(F.col("text")))
@@ -173,26 +208,31 @@ def run_extraction(
                 f"injected failure after batch {batch} outputs"
             )
         finished = time.time()
-        for chunk in batch:
-            rec = spark.createDataFrame(
-                [
-                    (
-                        run_id,
-                        chunk,
-                        "done",
-                        turn_counts.get(chunk, 0),
-                        tri_counts.get(chunk, 0),
-                        err_counts.get(chunk, 0),
-                        t0,
-                        finished,
-                    )
-                ],
-                LINEAGE_SCHEMA,
+        # ONE write per batch (dynamic overwrite keeps other batches'
+        # lineage): the old per-chunk loop serialized batch_chunks tiny
+        # Spark jobs — exactly the overhead batching exists to avoid
+        recs = [
+            (
+                run_id,
+                chunk,
+                "done",
+                turn_counts.get(chunk, 0),
+                tri_counts.get(chunk, 0),
+                err_counts.get(chunk, 0),
+                t0,
+                finished,
             )
-            rec.coalesce(1).write.mode("overwrite").parquet(
-                f"{out_dir}/_lineage/chunk={chunk}"
-            )
-            stats["chunks_run"] += 1
+            for chunk in batch
+        ]
+        (
+            spark.createDataFrame(recs, LINEAGE_SCHEMA)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk")
+            .parquet(f"{out_dir}/_lineage")
+        )
+        stats["chunks_run"] += len(batch)
     return stats
 
 

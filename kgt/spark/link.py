@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from kgt.textops.dedup import normalize_text
 
+# the default agent/tool canonicalization rows — ONE definition for
+# the driver queries and jobs/build_graph's default dictionary (three
+# copies used to drift independently; round-6 review find)
+DEFAULT_AGENT_DICT = [
+    ("user", "urn:agent:user", "agent"),
+    ("assistant", "urn:agent:assistant", "agent"),
+    ("tool", "urn:agent:tool", "agent"),
+    ("turtle_emitter", "urn:tool:turtle_emitter", "tool"),
+]
+
 # mention triples' stmt_idx offset: parse-triple stmt_idx is dense per
 # conversation and realistically bounded (a conversation with 10^9
 # statements is not a row, it's a bug), so this base keeps the two

@@ -194,7 +194,6 @@ def grammar_corpus(spark: SparkSession, n_convs: int) -> DataFrame:
         idx = (F.col("id") * 3 + j) % len(_PAYLOAD_TEMPLATES)
         parts = []
         for k, tpl in enumerate(_PAYLOAD_TEMPLATES):
-            rendered = F.lit(None)
             # render {i} with a per-conv integer via format_string
             fmt = tpl.replace("{i}", "%s")
             n = fmt.count("%s")

@@ -25,18 +25,22 @@ BUILD_GRAPH = os.path.join(REPO, "jobs", "build_graph.py")
 
 
 def _lineage_done(out_dir):
-    """Completed chunks, judged exactly as resume does: a lineage dir
-    counts once its _SUCCESS marker exists (a killed write leaves no
-    marker, so a chunk mid-lineage-write correctly stays pending)."""
+    """Completed chunks, judged as resume does: lineage is one
+    partitioned write per batch (dynamic overwrite), so a chunk=N dir
+    containing committed parquet files exists only after the batch's
+    job committed — a killed mid-write leaves its data in _temporary
+    and the chunk correctly stays pending."""
     root = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(root):
         return set()
-    return {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("chunk=")
-        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
-    }
+    done = set()
+    for d in os.listdir(root):
+        if not d.startswith("chunk="):
+            continue
+        sub = os.path.join(root, d)
+        if any(f.endswith(".parquet") for f in os.listdir(sub)):
+            done.add(int(d.split("=", 1)[1]))
+    return done
 
 
 def _triple_rows(spark, out_dir):

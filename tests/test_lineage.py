@@ -254,3 +254,23 @@ def test_materialize_bucketed(spark, sf_dir, out_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_resume_rejects_chunk_fanout_mismatch(spark, sf_dir, tmp_path):
+    """Round-6 review find: resuming with a different --chunks than
+    staging silently dropped staged chunks >= n_chunks; the staging
+    fan-out is now recorded and validated."""
+    import pytest as _pytest
+
+    from kgt.spark.lineage import run_extraction, stage_input
+    from kgt.spark.transcripts import orders_transcripts
+
+    out = str(tmp_path / "mismatch_run")
+    stage_input(
+        orders_transcripts(spark, sf_dir).limit(40), out, n_chunks=4
+    )
+    with _pytest.raises(ValueError, match="n_chunks=4"):
+        run_extraction(spark, out, "r1", n_chunks=8)
+    # the matching fan-out still runs
+    stats = run_extraction(spark, out, "r1", n_chunks=4)
+    assert stats["chunks_run"] == 4
