@@ -155,3 +155,132 @@ def test_pretty_writer_roundtrip_random_graphs(stmts):
     )
     reparsed = parse_nt(out)
     assert canon_bnodes(reparsed) == lines1, out
+
+
+# --- 4. rich-grammar document fuzz ------------------------------------
+# A generator covering the syntax the simple-doc strategy doesn't:
+# directives (both forms), ';'/',' lists, all literal shapes (long
+# strings, langs/dirs, datatypes, numerics), bnode property lists,
+# collections, and quoted triples — then three differential checks:
+# clean parse, fused-vs-slow lexer agreement, and a full pretty-writer
+# graph round-trip.
+
+_pn = st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True)
+_obj_atom = st.one_of(
+    _pn.map(lambda s: f"p:{s}"),
+    st.from_regex(r"[A-Za-z0-9_]{1,8}", fullmatch=True).map(
+        lambda s: f"<urn:o:{s}>"
+    ),
+    st.integers(-10**6, 10**6).map(str),
+    st.from_regex(r"-?[0-9]{1,4}\.[0-9]{1,4}", fullmatch=True),
+    st.from_regex(r"-?[0-9]{1,3}\.[0-9]{1,3}[eE][+-]?[0-9]{1,2}", fullmatch=True),
+    st.sampled_from(["true", "false"]),
+    st.text(alphabet=string.ascii_letters + " .,'é漢", max_size=12).map(
+        lambda s: '"' + s.replace("\\", "").replace('"', "") + '"'
+    ),
+    st.text(alphabet=string.ascii_letters + " \n\t", max_size=15).map(
+        lambda s: '"""' + s.replace("\\", "").replace('"', "") + '"""'
+    ),
+    st.tuples(
+        st.from_regex(r"[A-Za-z ]{0,8}", fullmatch=True),
+        st.from_regex(r"[a-z]{2}(-[A-Za-z0-9]{1,3})?", fullmatch=True),
+    ).map(lambda t: f'"{t[0]}"@{t[1]}'),
+    st.from_regex(r"[0-9]{1,6}", fullmatch=True).map(
+        lambda s: f'"{s}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ),
+)
+
+
+def _obj(depth):
+    if depth <= 0:
+        return _obj_atom
+    sub = _obj(depth - 1)
+    return st.one_of(
+        _obj_atom,
+        # collection
+        st.lists(sub, max_size=3).map(
+            lambda xs: "(" + " ".join(xs) + ")"
+        ),
+        # bnode property list
+        st.lists(st.tuples(_pn, sub), min_size=1, max_size=2).map(
+            lambda po: "[ " + " ; ".join(f"p:{p} {o}" for p, o in po) + " ]"
+        ),
+        # quoted triple (subject/object positions per rdf12)
+        st.tuples(_pn, _pn, _obj_atom).map(
+            lambda t: f"<< p:{t[0]} p:{t[1]} {t[2]} >>"
+        ),
+    )
+
+
+_rich_stmt = st.tuples(
+    st.one_of(
+        _pn.map(lambda s: f"p:{s}"),
+        _pn.map(lambda s: f"_:{s}"),
+        st.just("[]"),
+    ),
+    st.lists(
+        st.tuples(
+            st.one_of(_pn.map(lambda s: f"p:{s}"), st.just("a")),
+            st.lists(_obj(2), min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+).map(
+    lambda t: t[0]
+    + " "
+    + " ; ".join(f"{verb} " + " , ".join(objs) for verb, objs in t[1])
+    + " ."
+)
+
+_RICH_DOC = st.lists(_rich_stmt, min_size=1, max_size=6).map(
+    lambda stmts: "@prefix p: <urn:p:> .\nPREFIX q: <urn:q:>\n"
+    + "\n".join(stmts)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_RICH_DOC)
+def test_rich_grammar_fuzz(doc):
+    """Every generated document is valid Turtle-star: it must (a)
+    parse clean, (b) lex identically on the fused and slow scanner
+    paths, (c) survive parse → serialize_pretty → re-parse with the
+    identical canonical graph — the differential net that caught the
+    round-4 writer data-loss bugs, now driven by a generator instead
+    of the fixed W3C corpus."""
+    fast_stmts, fast_errs = TurtleParser(rdfstar=True).parse(doc)
+    assert not fast_errs, (fast_errs[:2], doc)
+    slow_stmts, slow_errs = _SlowOnlyParser(rdfstar=True).parse(doc)
+    assert not slow_errs and fast_stmts == slow_stmts, doc
+
+    out = serialize_pretty(fast_stmts)
+    reparsed, errs2 = TurtleParser(rdfstar=True).parse(out)
+    assert not errs2, (errs2[:2], out)
+
+    def lines(ss):
+        # SET semantics: the parser is a statement stream (duplicates
+        # preserved, like the reference reader), the writer serializes
+        # the GRAPH (a set) — a generated duplicate triple legally
+        # collapses on round trip
+        return sorted(
+            {
+                f"{nt_encode(s)} {nt_encode(p)} {nt_encode(o)} ."
+                for s, p, o in ss
+            }
+        )
+
+    l1, l2 = lines(fast_stmts), lines(reparsed)
+    try:
+        assert canon_bnodes(l2) == canon_bnodes(l1), out
+    except ValueError:
+        # bnode-heavy graphs exceed the exact-isomorphism helper's
+        # budget: fall back to label-blinded multiset equality (plus
+        # the implied statement-count equality) — weaker than
+        # isomorphism but still catches every data-loss/duplication
+        # shape this fuzz hunts
+        import re as _re
+
+        def blind(ls):
+            return sorted(_re.sub(r"_:\S+", "_:b", ln) for ln in ls)
+
+        assert blind(l2) == blind(l1), out
