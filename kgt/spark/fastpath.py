@@ -193,7 +193,12 @@ def parse_fastpath(docs: DataFrame) -> DataFrame:
         )
 
     subj = term_to_nt(F.col("s_raw"), F.col("pfx_map"), False)
-    pred = F.when(F.col("p_raw") == "a", F.lit(RDF_TYPE_NT)).otherwise(
+    # 'a' OR 'A': the grammar path mirrors the reference's [Aa] verb
+    # terminal, so the fast path must too (differential fuzz found
+    # 'A' docs quarantining here while parsing clean there)
+    pred = F.when(
+        F.col("p_raw").isin("a", "A"), F.lit(RDF_TYPE_NT)
+    ).otherwise(
         term_to_nt(F.col("p_raw"), F.col("pfx_map"), False)
     )
     obj = term_to_nt(F.col("o_raw"), F.col("pfx_map"), True)
