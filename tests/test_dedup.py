@@ -489,3 +489,85 @@ def test_ngram_jaccard_candidate_pushdown_equivalence(spark):
     }
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in blocked.collect()}
     assert got == want and (1, 2) in got
+
+
+def test_simhash_blocking_completeness_fuzz(spark):
+    """Pigeonhole completeness, fuzzed: over synthetic 64-bit
+    fingerprints (planted ≤3-bit flips + random noise) the blocked
+    pair set must EQUAL the brute-force hamming ≤ 3 pair set — the
+    lossless-blocking claim checked against ground truth instead of
+    only hamming-0 copies."""
+    import itertools
+    import random
+
+    from kgt.textops.dedup import simhash_near_pairs
+
+    rng = random.Random(77)
+    fps = {}
+    for i in range(60):
+        fps[i] = rng.getrandbits(64)
+    # planted near pairs: flip 1..3 random bits of an existing fp
+    for i in range(60, 110):
+        srcv = fps[rng.randrange(60)]
+        for b in rng.sample(range(64), rng.randrange(1, 4)):
+            srcv ^= 1 << b
+        fps[i] = srcv
+
+    def halves(v):
+        # the engine's md5-derived halves are UNSIGNED 32-bit values
+        # carried in longs (never sign-extended) — hamming via
+        # bit_count(xor) over 64-bit longs depends on that
+        return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
+
+    rows = [(i, *halves(v)) for i, v in fps.items()]
+    df = spark.createDataFrame(rows, "doc_id long, sim_hi long, sim_lo long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want
+    assert len(want) >= 40  # the planting actually created near pairs
+
+
+def test_connected_components_random_graph_fuzz(spark):
+    """Both CC implementations against a Python union-find ground
+    truth over random graphs (mixed densities, self-loops, duplicate
+    and reversed edges)."""
+    import random
+
+    from kgt.textops.dedup import connected_components
+
+    for seed, n, m in [(1, 40, 25), (2, 60, 80), (3, 30, 5), (4, 25, 60)]:
+        rng = random.Random(seed)
+        edges = []
+        for _ in range(m):
+            a, b = rng.randrange(n), rng.randrange(n)
+            edges.append((a, b))
+            if rng.random() < 0.3:
+                edges.append((b, a))  # reversed duplicate
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {x: find(x) for x in sorted(touched)}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for algo in ("minlabel", "star"):
+            got = {
+                r["doc_id"]: r["comp"]
+                for r in connected_components(pairs, algorithm=algo).collect()
+            }
+            assert got == want, (seed, algo)
