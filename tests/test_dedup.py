@@ -571,3 +571,50 @@ def test_connected_components_random_graph_fuzz(spark):
                 for r in connected_components(pairs, algorithm=algo).collect()
             }
             assert got == want, (seed, algo)
+
+
+def test_duplicated_spans_matches_python_ground_truth(spark):
+    """The window-fingerprint profile against a direct Python
+    computation of the same normalized k-char windows over a random
+    corpus with planted shared spans."""
+    import random
+
+    from kgt.textops.dedup import duplicated_spans
+
+    rng = random.Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    shared = " ".join(rng.choice(words) for _ in range(12))
+    docs = []
+    for d in range(30):
+        own = " ".join(rng.choice(words) for _ in range(rng.randrange(3, 15)))
+        text = own if d % 3 else own + " " + shared
+        if d % 7 == 0:
+            text = "  " + text.upper() + "  "  # normalization fodder
+        docs.append((d, text))
+    k = 12
+    norm = {d: " ".join(t.lower().split()) for d, t in docs}
+    from collections import Counter
+
+    allw = Counter()
+    wins = {}
+    for d, x in norm.items():
+        ws = [x[i : i + k] for i in range(len(x) - k + 1)] if len(x) >= k else []
+        wins[d] = ws
+        allw.update(set())  # keep Counter import obvious
+        for w in ws:
+            allw[w] += 1
+    want = {}
+    for d, ws in wins.items():
+        dup = sum(1 for w in ws if allw[w] > 1)
+        want[d] = (
+            len(ws),
+            dup,
+            round(dup / len(ws), 6) if ws else None,
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in duplicated_spans(df, k=k).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # planting worked

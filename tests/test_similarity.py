@@ -296,3 +296,48 @@ def test_auto_n_cells_sql_parity():
         ).fetchone()[0]
         assert sql == auto_n_cells(n), n
         assert auto_n_cells(n) == max(16, min(65536, math.isqrt(n)))
+
+
+def test_embedding_near_pairs_exhaustive_probe_equals_brute_force(spark):
+    """With nprobe >= n_cells every pair shares a cell, so the blocked
+    operator must EQUAL the brute-force rounded-cosine >= threshold
+    pair set — exactness of the sim arithmetic and pair plumbing
+    checked against a Python ground truth on random vectors."""
+    import itertools
+    import math
+    import random
+
+    from kgt.textops.similarity import embedding_near_pairs
+
+    rng = random.Random(21)
+    vecs = {}
+    for i in range(36):
+        vecs[i] = [rng.uniform(-1, 1) for _ in range(6)]
+    for i in range(36, 48):  # planted near-dups
+        src = vecs[rng.randrange(36)]
+        vecs[i] = [x * rng.uniform(0.95, 1.05) for x in src]
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_near_pairs(
+            df, threshold=0.95, n_cells=6, nprobe=6
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.copysign(
+            math.floor(abs(d / (na * nb)) * 1e6 + 0.5), d
+        ) / 1e6
+
+    want = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        s = cos(vecs[a], vecs[b])
+        if s >= 0.95:
+            want[(a, b)] = s
+    assert got == want
+    assert len(want) >= 10
