@@ -1054,11 +1054,12 @@ def _q_multimodal_decode_real(spark, sf_dir):
     """The REAL codec path under the oracle (fake=False): per doc a
     deterministic RGB image — dims from text length, pixel
     i = (doc_id·31+i) mod 256 — is ENCODED in one mapInPandas stage
-    and DECODED in a second, with the CODEC chosen by doc_id % 3:
+    and DECODED in a second, with the CODEC chosen by doc_id % 4:
     PNG (from-scratch stdlib: IHDR/IDAT/IEND, zlib, CRC32, scanline
-    unfilter), TIFF uncompressed strips, or TIFF PackBits strips
-    (kgt/textops/tiff.py decode_pixels, round-6: rows_per_strip=8 so
-    multi-strip assembly is exercised); the decoder sniffs the
+    unfilter), TIFF uncompressed strips, TIFF PackBits strips, or
+    TIFF LZW strips with the horizontal predictor (kgt/textops/tiff.py
+    decode_pixels — MSB-first LZW, early width change; rows_per_strip=8
+    so multi-strip assembly is exercised); the decoder sniffs the
     signature. The oracle reproduces dims and the pixel-byte sum
     arithmetically (generate_series) — codec-independent, so every
     branch must land on identical pixels: a mis-parsed chunk, broken
@@ -1083,18 +1084,25 @@ def _q_multimodal_decode_real(spark, sf_dir):
                 px = bytes(
                     (int(doc_id) * 31 + i) % 256 for i in range(w * h * 3)
                 )
-                sel = int(doc_id) % 3
+                sel = int(doc_id) % 4
                 if sel == 0:
                     payloads.append(encode_png(w, h, px, color_type=2))
                 elif sel == 1:
                     payloads.append(
                         encode_tiff(w, h, px, compression=1, rows_per_strip=8)
                     )
-                else:
+                elif sel == 2:
                     payloads.append(
                         encode_tiff(
                             w, h, px, compression=32773, rows_per_strip=8,
                             big_endian=True,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_tiff(
+                            w, h, px, compression=5, rows_per_strip=8,
+                            predictor=2,
                         )
                     )
             yield pd.DataFrame(

@@ -31,12 +31,13 @@ two-tier:
 * MP3 / MP4 / WebP / Matroska / TIFF container METADATA is REAL
   (kgt/textops/mp3.py frame walker, mp4.py box-tree walker, webp.py
   RIFF/VP8 header parser, mkv.py EBML walker, tiff.py IFD walker),
-  and TIFF strip PIXELS are real for the baseline tiers (round 6:
-  uncompressed + PackBits, tiff.py decode_pixels, under the
-  multimodal_decode_real oracle). ``media_metadata`` routes all ten
+  and TIFF strip PIXELS are real for the tiers real corpora contain
+  (round 6: uncompressed, PackBits AND LZW with the horizontal
+  predictor — tiff.py decode_pixels, under the multimodal_decode_real
+  oracle). ``media_metadata`` routes all ten
   formats through one signature-sniffed scan.
 * only compressed codec PAYLOADS remain STUBBED (AAC/Opus PCM,
-  H.264/VP8/VP9 pixels, LZW/JPEG-in-TIFF strips): the relevant
+  H.264/VP8/VP9 pixels, JPEG-in-TIFF/deflate/CCITT strips): the relevant
   ``fake=False`` paths raise NotImplementedError naming the gap, and
   ``fake=True`` emits a deterministic fake feature row (byte length +
   md5 checksum + checksum-derived dimensions) so the batch plumbing

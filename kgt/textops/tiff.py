@@ -5,13 +5,15 @@ magic 42), IFD entry table (tag/type/count/value with inline-vs-offset
 resolution for the numeric types) — extracting dims, bits per sample,
 samples per pixel, compression and page count (IFD chain).
 
-Pixels (round 6): ``decode_pixels`` decodes the strip data of the two
-baseline tiers every real corpus contains — compression 1
-(uncompressed) and 32773 (PackBits, TIFF 6.0 §9) — for 8-bit samples,
-both byte orders, multi-strip via RowsPerStrip.  ``encode_tiff``
-writes the matching real file (strip layout + external value areas).
-The codec tiers no sandbox should hand-roll (LZW, JPEG-in-TIFF,
-deflate) still raise NotImplementedError naming the gap.
+Pixels (round 6): ``decode_pixels`` decodes the strip tiers real
+corpora actually contain — compression 1 (uncompressed), 32773
+(PackBits, TIFF 6.0 §9) and 5 (LZW, TIFF 6.0 §13: MSB-first packing,
+early width change, optional horizontal predictor tag 317) — for
+8-bit samples, both byte orders, multi-strip via RowsPerStrip.
+``encode_tiff`` writes the matching real files (strip layout +
+external value areas). The codec tiers no sandbox should hand-roll
+(JPEG-in-TIFF, deflate, CCITT) still raise NotImplementedError naming
+the gap.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ TAG_SAMPLES = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PLANAR_CONFIG = 284
+TAG_PREDICTOR = 317
 
 # magic headers (shared by the multimodal sniffers — one source of
 # truth instead of per-call-site tuples)
@@ -271,11 +274,22 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     bits = one(TAG_BITS, 1)
     samples = one(TAG_SAMPLES, 1)
     comp = one(TAG_COMPRESSION, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 32773, 5):
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise NotImplementedError(
-            f"TIFF strip decode supports compression none/packbits; "
+            f"TIFF strip decode supports compression none/packbits/lzw; "
             f"this file uses {name} (strip codec out of scope)"
+        )
+    predictor = one(TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not supported (1=none, "
+            f"2=horizontal differencing)"
+        )
+    if predictor == 2 and comp != 5:
+        raise ValueError(
+            "TIFF predictor 2 without LZW is not a layout this "
+            "decoder recognizes"
         )
     if bits != 8:
         raise NotImplementedError(
@@ -321,9 +335,19 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"TIFF uncompressed strip holds {len(data)} bytes, "
                     f"expected {expected}"
                 )
-            out += data
+            strip = data
+        elif comp == 5:
+            strip = tiff_lzw_decode(data, expected)
         else:
-            out += packbits_decode(data, expected)
+            strip = packbits_decode(data, expected)
+        if predictor == 2:
+            buf = bytearray(strip)
+            for r in range(rows):
+                row = buf[r * row_bytes : (r + 1) * row_bytes]
+                _predict2_decode(row, samples)
+                buf[r * row_bytes : (r + 1) * row_bytes] = row
+            strip = bytes(buf)
+        out += strip
     return w, h, samples, bytes(out)
 
 
@@ -335,13 +359,19 @@ def encode_tiff(
     compression: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Real single-page TIFF with strip data — the round-trip partner
-    of decode_pixels. compression 1 (none) or 32773 (PackBits);
-    multi-strip when rows_per_strip < height; external value areas for
-    the strip offset/count arrays when they outgrow the inline field."""
-    if compression not in (1, 32773):
-        raise ValueError("encode_tiff supports compression 1 or 32773")
+    of decode_pixels. compression 1 (none), 32773 (PackBits) or 5
+    (LZW, optionally with the horizontal predictor); multi-strip when
+    rows_per_strip < height; external value areas for the strip
+    offset/count arrays when they outgrow the inline field."""
+    if compression not in (1, 32773, 5):
+        raise ValueError("encode_tiff supports compression 1, 5 or 32773")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 is only written with LZW here")
     if len(pixels) != width * height * samples:
         raise ValueError("pixel buffer does not match dims")
     if rows_per_strip is None:
@@ -351,7 +381,19 @@ def encode_tiff(
     strips = []
     for r0 in range(0, height, rows_per_strip):
         raw = pixels[r0 * row_bytes : (r0 + rows_per_strip) * row_bytes]
-        strips.append(raw if compression == 1 else packbits_encode(raw))
+        if predictor == 2:
+            raw = b"".join(
+                _predict2_encode(
+                    raw[i : i + row_bytes], samples
+                )
+                for i in range(0, len(raw), row_bytes)
+            )
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            strips.append(tiff_lzw_encode(raw))
+        else:
+            strips.append(packbits_encode(raw))
     n_strips = len(strips)
 
     entries = [  # (tag, etype, count) — values resolved below
@@ -364,6 +406,8 @@ def encode_tiff(
         (TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
         (TAG_STRIP_BYTE_COUNTS, 4, n_strips, [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        entries.append((TAG_PREDICTOR, 3, 1, [2]))
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     ext_off = ifd_off + ifd_size  # external value area
@@ -413,3 +457,143 @@ def encode_tiff(
     for s in strips:
         out += s
     return bytes(out)
+
+
+# ------------------------------------------------------------- LZW tier
+# TIFF 6.0 §13: MSB-first bit packing, 9-bit initial width, codes
+# 256=Clear / 257=EOI, first table entry 258, EARLY width change
+# (bump when the table reaches 2^width - 1 — one entry before GIF's
+# LSB-first variant would). Strips compress independently. The
+# horizontal predictor (tag 317 = 2) differences samples per row
+# before compression; decode integrates back.
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """One LZW-compressed strip → exactly ``expected`` bytes."""
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW strip")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW stream starts with a table code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"invalid TIFF LZW code {code}")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1  # EARLY change (TIFF convention)
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Round-trip partner of tiff_lzw_decode (fixtures + encode_tiff):
+    standard LZW with the same MSB packing. Width timing is kept in
+    lockstep by SIMULATING the decoder: its table grows one entry per
+    received code except the first after a clear, and its read width
+    bumps when that table reaches 2^width - 1 — the encoder tracks
+    (dec_len, emitted) and emits every code at exactly the width the
+    decoder will read it with."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+    dec_len = 258  # the decoder's table size (256 literals + 2 specials)
+    emitted = 0  # data codes since the last clear
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def emit(code: int):
+        nonlocal width, dec_len, emitted
+        put(code)
+        emitted += 1
+        if emitted >= 2:
+            dec_len += 1
+        if dec_len >= (1 << width) - 1 and width < 12:
+            width += 1
+
+    def clear():
+        nonlocal width, dec_len, emitted, table, next_code
+        put(_LZW_CLEAR)
+        width = 9
+        dec_len = 258
+        emitted = 0
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+
+    table: dict[bytes, int] = {}
+    next_code = 0
+    clear()
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([byte])
+        if next_code >= 4090:  # table nearly full → restart
+            # w is a single byte, present in the fresh table — it
+            # simply carries across the clear
+            clear()
+    if w:
+        emit(table[w])
+    put(_LZW_EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predict2_encode(row: bytes, samples: int) -> bytes:
+    out = bytearray(row)
+    for i in range(len(row) - 1, samples - 1, -1):
+        out[i] = (row[i] - row[i - samples]) & 0xFF
+    return bytes(out)
+
+
+def _predict2_decode(row: bytearray, samples: int) -> None:
+    for i in range(samples, len(row)):
+        row[i] = (row[i] + row[i - samples]) & 0xFF

@@ -399,9 +399,10 @@ class TestTiff:
         with pytest.raises(ValueError, match="strip offsets"):
             decode_pixels(p)
         # unsupported strip codecs still raise the honest gap
-        lzw = encode_tiff_header([(10, 10)], compression=5)
-        with pytest.raises(NotImplementedError, match="lzw"):
-            decode_pixels(lzw)
+        # (LZW is REAL since round 6 — use CCITT for the gap check)
+        ccitt = encode_tiff_header([(10, 10)], compression=2)
+        with pytest.raises(NotImplementedError, match="ccitt"):
+            decode_pixels(ccitt)
 
     def test_strip_decode_roundtrip(self):
         """Round-6 real tier: uncompressed + PackBits strips, both
@@ -519,18 +520,19 @@ def test_tiff_packbits_property_fuzz():
         w=st.integers(1, 40),
         h=st.integers(1, 40),
         s=st.sampled_from([1, 3]),
-        comp=st.sampled_from([1, 32773]),
+        comp=st.sampled_from([1, 32773, 5]),
         rps=st.one_of(st.none(), st.integers(1, 16)),
         be=st.booleans(),
+        pred=st.sampled_from([1, 2]),
         seed=st.integers(0, 2**31 - 1),
     )
-    def check_tiff(w, h, s, comp, rps, be, seed):
+    def check_tiff(w, h, s, comp, rps, be, pred, seed):
         import random
 
         px = bytes(random.Random(seed).randrange(256) for _ in range(w * h * s))
         p = encode_tiff(
             w, h, px, samples=s, compression=comp, rows_per_strip=rps,
-            big_endian=be,
+            big_endian=be, predictor=pred if comp == 5 else 1,
         )
         assert decode_pixels(p) == (w, h, s, px)
 
@@ -618,3 +620,42 @@ def test_round6_codec_review_fixes():
     # GIF: delays shorter than frames must refuse, not truncate
     with _pytest.raises(ValueError, match="delays"):
         encode_gif(2, 2, [bytes(4)] * 3, [(0, 0, 0), (1, 1, 1)], delays=[1])
+
+
+def test_tiff_lzw_roundtrip_and_errors():
+    """Round-6 LZW tier (TIFF 6.0 §13): MSB-first packing, early width
+    change, table-full restart, optional horizontal predictor — exact
+    round-trips over the dims/strip/endianness/predictor matrix, plus
+    honest errors for truncation and the still-unsupported codecs."""
+    import random
+
+    from kgt.textops.tiff import (
+        decode_pixels,
+        encode_tiff,
+        encode_tiff_header,
+        parse_tiff,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rng = random.Random(9)
+    for w, h, smp in [(1, 1, 1), (40, 23, 3), (64, 64, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * smp))
+        for pred in (1, 2):
+            for be in (False, True):
+                p = encode_tiff(
+                    w, h, px, samples=smp, compression=5,
+                    rows_per_strip=4, big_endian=be, predictor=pred,
+                )
+                assert parse_tiff(p)["compression"] == "lzw"
+                assert decode_pixels(p) == (w, h, smp, px)
+    # a payload long enough to force width bumps AND a table restart
+    big = bytes(rng.randrange(256) for _ in range(120_000))
+    assert tiff_lzw_decode(tiff_lzw_encode(big), len(big)) == big
+    # truncation raises ValueError
+    enc = tiff_lzw_encode(b"hello world " * 50)
+    with pytest.raises(ValueError, match="truncated|decoded"):
+        tiff_lzw_decode(enc[: len(enc) // 2], 600)
+    # deflate stays an honest gap
+    with pytest.raises(NotImplementedError, match="deflate"):
+        decode_pixels(encode_tiff_header([(4, 4)], compression=8))
