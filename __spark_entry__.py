@@ -1054,11 +1054,13 @@ def _q_multimodal_decode_real(spark, sf_dir):
     """The REAL codec path under the oracle (fake=False): per doc a
     deterministic RGB image — dims from text length, pixel
     i = (doc_id·31+i) mod 256 — is ENCODED in one mapInPandas stage
-    and DECODED in a second, with the CODEC chosen by doc_id % 4:
+    and DECODED in a second, with the CODEC chosen by doc_id % 5:
     PNG (from-scratch stdlib: IHDR/IDAT/IEND, zlib, CRC32, scanline
-    unfilter), TIFF uncompressed strips, TIFF PackBits strips, or
-    TIFF LZW strips with the horizontal predictor (kgt/textops/tiff.py
-    decode_pixels — MSB-first LZW, early width change; rows_per_strip=8
+    unfilter), TIFF uncompressed strips, TIFF PackBits strips,
+    TIFF LZW strips with the horizontal predictor, or TIFF deflate
+    strips (round 7; compression 8, stdlib zlib inflate + predictor 2)
+    (kgt/textops/tiff.py decode_pixels — MSB-first LZW, early width
+    change; rows_per_strip=8
     so multi-strip assembly is exercised); the decoder sniffs the
     signature. The oracle reproduces dims and the pixel-byte sum
     arithmetically (generate_series) — codec-independent, so every
@@ -1084,7 +1086,7 @@ def _q_multimodal_decode_real(spark, sf_dir):
                 px = bytes(
                     (int(doc_id) * 31 + i) % 256 for i in range(w * h * 3)
                 )
-                sel = int(doc_id) % 4
+                sel = int(doc_id) % 5
                 if sel == 0:
                     payloads.append(encode_png(w, h, px, color_type=2))
                 elif sel == 1:
@@ -1098,10 +1100,17 @@ def _q_multimodal_decode_real(spark, sf_dir):
                             big_endian=True,
                         )
                     )
-                else:
+                elif sel == 3:
                     payloads.append(
                         encode_tiff(
                             w, h, px, compression=5, rows_per_strip=8,
+                            predictor=2,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_tiff(
+                            w, h, px, compression=8, rows_per_strip=8,
                             predictor=2,
                         )
                     )

@@ -7,18 +7,20 @@ samples per pixel, compression and page count (IFD chain).
 
 Pixels (round 6): ``decode_pixels`` decodes the strip tiers real
 corpora actually contain — compression 1 (uncompressed), 32773
-(PackBits, TIFF 6.0 §9) and 5 (LZW, TIFF 6.0 §13: MSB-first packing,
-early width change, optional horizontal predictor tag 317) — for
-8-bit samples, both byte orders, multi-strip via RowsPerStrip.
-``encode_tiff`` writes the matching real files (strip layout +
-external value areas). The codec tiers no sandbox should hand-roll
-(JPEG-in-TIFF, deflate, CCITT) still raise NotImplementedError naming
-the gap.
+(PackBits, TIFF 6.0 §9), 5 (LZW, TIFF 6.0 §13: MSB-first packing,
+early width change, optional horizontal predictor tag 317) and, since
+round 7, 8/32946 (Adobe/legacy deflate via stdlib zlib, optionally
+predictor 2) — for 8-bit samples, both byte orders, multi-strip via
+RowsPerStrip.  ``encode_tiff`` writes the matching real files (strip
+layout + external value areas). The codec tiers no sandbox should
+hand-roll (JPEG-in-TIFF, CCITT) still raise NotImplementedError
+naming the gap.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -44,8 +46,11 @@ def is_tiff(payload: bytes) -> bool:
 
 _COMPRESSION_NAMES = {
     1: "none", 2: "ccitt-rle", 5: "lzw", 6: "jpeg-old", 7: "jpeg",
-    8: "deflate", 32773: "packbits",
+    8: "deflate", 32773: "packbits", 32946: "deflate-old",
 }
+
+# strip compressions decode_pixels can actually decompress
+_DECODABLE_COMPRESSIONS = (1, 32773, 5, 8, 32946)
 
 
 def _read_value(payload: bytes, endian: str, etype: int, count: int, raw: bytes):
@@ -274,11 +279,11 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     bits = one(TAG_BITS, 1)
     samples = one(TAG_SAMPLES, 1)
     comp = one(TAG_COMPRESSION, 1)
-    if comp not in (1, 32773, 5):
+    if comp not in _DECODABLE_COMPRESSIONS:
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise NotImplementedError(
-            f"TIFF strip decode supports compression none/packbits/lzw; "
-            f"this file uses {name} (strip codec out of scope)"
+            f"TIFF strip decode supports compression none/packbits/lzw/"
+            f"deflate; this file uses {name} (strip codec out of scope)"
         )
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -286,9 +291,9 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             f"TIFF predictor {predictor} not supported (1=none, "
             f"2=horizontal differencing)"
         )
-    if predictor == 2 and comp != 5:
+    if predictor == 2 and comp not in (5, 8, 32946):
         raise ValueError(
-            "TIFF predictor 2 without LZW is not a layout this "
+            "TIFF predictor 2 without LZW/deflate is not a layout this "
             "decoder recognizes"
         )
     if bits != 8:
@@ -338,6 +343,16 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             strip = data
         elif comp == 5:
             strip = tiff_lzw_decode(data, expected)
+        elif comp in (8, 32946):
+            try:
+                strip = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
+            if len(strip) != expected:
+                raise ValueError(
+                    f"TIFF deflate strip decoded {len(strip)} bytes, "
+                    f"expected {expected}"
+                )
         else:
             strip = packbits_decode(data, expected)
         if predictor == 2:
@@ -362,16 +377,17 @@ def encode_tiff(
     predictor: int = 1,
 ) -> bytes:
     """Real single-page TIFF with strip data — the round-trip partner
-    of decode_pixels. compression 1 (none), 32773 (PackBits) or 5
-    (LZW, optionally with the horizontal predictor); multi-strip when
-    rows_per_strip < height; external value areas for the strip
-    offset/count arrays when they outgrow the inline field."""
-    if compression not in (1, 32773, 5):
-        raise ValueError("encode_tiff supports compression 1, 5 or 32773")
+    of decode_pixels. compression 1 (none), 32773 (PackBits), 5
+    (LZW) or 8 (deflate) — LZW/deflate optionally with the horizontal
+    predictor; multi-strip when rows_per_strip < height; external
+    value areas for the strip offset/count arrays when they outgrow
+    the inline field."""
+    if compression not in (1, 32773, 5, 8):
+        raise ValueError("encode_tiff supports compression 1, 5, 8 or 32773")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
-    if predictor == 2 and compression != 5:
-        raise ValueError("predictor 2 is only written with LZW here")
+    if predictor == 2 and compression not in (5, 8):
+        raise ValueError("predictor 2 is only written with LZW/deflate here")
     if len(pixels) != width * height * samples:
         raise ValueError("pixel buffer does not match dims")
     if rows_per_strip is None:
@@ -392,6 +408,8 @@ def encode_tiff(
             strips.append(raw)
         elif compression == 5:
             strips.append(tiff_lzw_encode(raw))
+        elif compression == 8:
+            strips.append(zlib.compress(raw, 6))
         else:
             strips.append(packbits_encode(raw))
     n_strips = len(strips)

@@ -520,7 +520,7 @@ def test_tiff_packbits_property_fuzz():
         w=st.integers(1, 40),
         h=st.integers(1, 40),
         s=st.sampled_from([1, 3]),
-        comp=st.sampled_from([1, 32773, 5]),
+        comp=st.sampled_from([1, 32773, 5, 8]),
         rps=st.one_of(st.none(), st.integers(1, 16)),
         be=st.booleans(),
         pred=st.sampled_from([1, 2]),
@@ -532,7 +532,7 @@ def test_tiff_packbits_property_fuzz():
         px = bytes(random.Random(seed).randrange(256) for _ in range(w * h * s))
         p = encode_tiff(
             w, h, px, samples=s, compression=comp, rows_per_strip=rps,
-            big_endian=be, predictor=pred if comp == 5 else 1,
+            big_endian=be, predictor=pred if comp in (5, 8) else 1,
         )
         assert decode_pixels(p) == (w, h, s, px)
 
@@ -656,6 +656,53 @@ def test_tiff_lzw_roundtrip_and_errors():
     enc = tiff_lzw_encode(b"hello world " * 50)
     with pytest.raises(ValueError, match="truncated|decoded"):
         tiff_lzw_decode(enc[: len(enc) // 2], 600)
-    # deflate stays an honest gap
-    with pytest.raises(NotImplementedError, match="deflate"):
-        decode_pixels(encode_tiff_header([(4, 4)], compression=8))
+    # jpeg-in-tiff stays an honest gap
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_pixels(encode_tiff_header([(4, 4)], compression=7))
+
+
+def test_tiff_deflate_roundtrip_and_errors():
+    """Round-7 deflate tier (compression 8, stdlib zlib): exact
+    round-trips over dims/strips/endianness/predictor, the legacy
+    32946 code on decode, and honest errors for corrupt or
+    wrong-length zlib streams."""
+    import random
+    import struct
+    import zlib
+
+    from kgt.textops.tiff import decode_pixels, encode_tiff, parse_tiff
+
+    rng = random.Random(11)
+    for w, h, smp in [(1, 1, 1), (40, 23, 3), (64, 64, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * smp))
+        for pred in (1, 2):
+            for be in (False, True):
+                p = encode_tiff(
+                    w, h, px, samples=smp, compression=8,
+                    rows_per_strip=4, big_endian=be, predictor=pred,
+                )
+                assert parse_tiff(p)["compression"] == "deflate"
+                assert decode_pixels(p) == (w, h, smp, px)
+    # legacy code 32946 decodes identically (same zlib payload)
+    w, h = 8, 5
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    p = bytearray(encode_tiff(w, h, px, compression=8))
+    i = p.find(struct.pack("<H", 259))  # Compression tag, little-endian
+    assert i >= 0 and p[i + 8 : i + 10] == struct.pack("<H", 8)
+    p[i + 8 : i + 10] = struct.pack("<H", 32946)
+    assert decode_pixels(bytes(p)) == (w, h, 3, px)
+    # corrupt zlib stream raises ValueError, not zlib.error
+    good = encode_tiff(4, 4, bytes(48), compression=8)
+    strip = zlib.compress(bytes(48), 6)
+    j = good.find(strip)
+    assert j > 0
+    bad = good[:j] + b"\x00" * len(strip) + good[j + len(strip):]
+    with pytest.raises(ValueError, match="deflate"):
+        decode_pixels(bad)
+    # stream that inflates to the wrong length raises too
+    short = zlib.compress(bytes(40), 6)
+    padded = short + b"\x00" * (len(strip) - len(short))
+    assert len(padded) == len(strip)  # keep offsets valid
+    bad2 = good[:j] + padded + good[j + len(strip):]
+    with pytest.raises(ValueError, match="deflate|expected"):
+        decode_pixels(bad2)
