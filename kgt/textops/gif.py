@@ -4,10 +4,11 @@ Decoder (the product): header + logical screen descriptor, global and
 local color tables, extension blocks (graphic control: delay,
 transparency), image descriptors, variable-width LZW decompression
 (clear/end codes, dictionary growth to 12 bits), 4-pass interlace
-reordering, and multi-frame compositing with disposal methods 0/1
-(draw over) and 2 (restore to background).  Output is RGB frames via
-the palette.  Disposal 3 (restore previous) raises
-NotImplementedError naming it.
+reordering, and multi-frame compositing with all four disposal
+methods: 0/1 (draw over), 2 (restore to background) and, since
+round 7, 3 (restore previous — the canvas reverts to its state
+before the frame was rendered).  Output is RGB frames via the
+palette.
 
 Encoder (fixture generator): single- or multi-frame GIF with a global
 color table and a real LZW compressor (emits clear codes on dictionary
@@ -210,11 +211,6 @@ def decode_gif(payload: bytes):
             if label == _GCE and len(data) >= 4:
                 flags, delay = struct.unpack("<BH", data[:3])
                 disposal = (flags >> 2) & 7
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore previous) is not "
-                        "implemented"
-                    )
                 transparent = data[3] if flags & 1 else None
         elif block == _IMAGE:
             ix, iy, iw, ih, ipacked = struct.unpack(
@@ -244,6 +240,8 @@ def decode_gif(payload: bytes):
             # numpy compositing: palette applied by fancy indexing over
             # the whole sub-rect, transparency as a boolean mask — no
             # per-pixel Python (the PNG-unfilter lesson)
+            # disposal 3 restores the PRE-frame canvas after display
+            saved = bytes(canvas) if disposal == 3 else None
             ia = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
             # bound-check only RENDERED indices — a transparent index
             # outside the palette is legal (it is never looked up)
@@ -267,6 +265,8 @@ def decode_gif(payload: bytes):
                 for y in range(ih):
                     off = ((iy + y) * w + ix) * 3
                     canvas[off : off + 3 * iw] = bg_rgb * iw
+            elif disposal == 3:  # restore previous: revert the render
+                canvas = bytearray(saved)
             transparent = None
             delay = 0
             disposal = 0

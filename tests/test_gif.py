@@ -129,15 +129,56 @@ class TestGif:
         assert frames[0] == _rgb_frame(f1, pal)
         assert frames[1] == _rgb_frame(bytes([0, 0]), pal)
 
-    def test_disposal_restore_previous_rejected(self):
-        w, h = 2, 1
+    def test_disposal_restore_previous(self):
+        """Disposal 3: after a frame is displayed, the canvas reverts
+        to its pre-frame state, so the NEXT frame composites over what
+        was there BEFORE the disposal-3 frame — not over that frame."""
+        w, h = 3, 1
         pal = _palette(4)
-        payload = bytearray(encode_gif(w, h, [bytes([1, 1])], pal))
-        first = payload.index(b"\x2c")
-        gce = bytes([0x21, 0xF9, 4]) + struct.pack("<BH", 3 << 2, 0) + bytes([0, 0])
-        payload[first:first] = gce
-        with pytest.raises(NotImplementedError, match="disposal method 3"):
-            decode_gif(bytes(payload))
+        f1 = bytes([1, 1, 1])
+        f2 = bytes([2, 2, 2])  # marked disposal 3
+        f3 = bytes([3, 0, 3])  # index 3 transparent → base shows through
+        payload = bytearray(encode_gif(w, h, [f1, f2, f3], pal))
+        second = payload.index(b"\x2c", payload.index(b"\x2c") + 1)
+        gce2 = bytes([0x21, 0xF9, 4]) + struct.pack("<BH", 3 << 2, 0) + bytes([0, 0])
+        payload[second:second] = gce2
+        third = payload.index(b"\x2c", second + len(gce2) + 1)
+        gce3 = bytes([0x21, 0xF9, 4]) + struct.pack("<BH", 1, 0) + bytes([3, 0])
+        payload[third:third] = gce3
+        _, _, frames, _ = decode_gif(bytes(payload))
+        assert frames[0] == _rgb_frame(f1, pal)
+        assert frames[1] == _rgb_frame(f2, pal)  # frame 2 IS displayed
+        # frame 3's transparent pixels reveal frame 1 (restored), and
+        # its opaque pixel draws over it
+        assert frames[2] == _rgb_frame(bytes([1, 0, 1]), pal)
+
+    def test_disposal_restore_previous_subrect(self):
+        """Disposal 3 with a sub-rect image: only the rect was drawn,
+        and the revert restores exactly the pre-frame canvas."""
+        w, h = 4, 2
+        pal = _palette(4)
+        base = bytes([1] * 8)
+        payload = bytearray(encode_gif(w, h, [base], pal))
+        # hand-append: GCE(disposal 3) + a 2×1 image at (1,1) drawing
+        # index 2, then GCE(transparent 3) + a full-canvas frame of 3s
+        from kgt.textops.gif import lzw_encode
+
+        trailer = payload.pop()  # 0x3B
+        payload += bytes([0x21, 0xF9, 4]) + struct.pack("<BH", 3 << 2, 0) + bytes([0, 0])
+        payload += bytes([0x2C]) + struct.pack("<HHHHB", 1, 1, 2, 1, 0)
+        sub = lzw_encode(bytes([2, 2]), 2)
+        payload += bytes([2, len(sub)]) + sub + b"\x00"
+        payload += bytes([0x21, 0xF9, 4]) + struct.pack("<BH", 1, 0) + bytes([3, 0])
+        payload += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        full = lzw_encode(bytes([3] * 8), 2)
+        payload += bytes([2, len(full)]) + full + b"\x00"
+        payload.append(trailer)
+        _, _, frames, _ = decode_gif(bytes(payload))
+        assert frames[0] == _rgb_frame(base, pal)
+        assert frames[1] == _rgb_frame(bytes([1, 1, 1, 1, 1, 2, 2, 1]), pal)
+        # the disposal-3 revert means frame 3 (all transparent) shows
+        # the ORIGINAL base, with no trace of the 2×1 rect
+        assert frames[2] == _rgb_frame(base, pal)
 
     def test_bad_inputs(self):
         pal = _palette(4)
