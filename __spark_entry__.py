@@ -55,6 +55,10 @@ _shingle_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 # working dirs of streaming_near_dup runs (previous run cleaned at the
 # next invocation; the last at interpreter exit)
 _stream_gate_dirs: list = []
+# state-store bound metrics from the LAST streaming_near_dup run
+# (bench.py reports them as extras: the measured evidence that state
+# is live-buckets × ≤cap, not unbounded)
+_stream_gate_metrics: dict = {}
 _recovery_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
@@ -1833,6 +1837,30 @@ def _q_streaming_near_dup(spark, sf_dir):
     from kgt.streaming.extract import drain_streaming_query
 
     drain_streaming_query(q)
+    # measure the state bound on the actual persisted rows (Spark 4
+    # state-store reader): rows == live buckets; members per bucket
+    # capped at bucket_cap — recorded for the bench extras
+    try:
+        st = spark.read.format("statestore").load(ckpt)
+        agg = st.select(
+            F.size("value.groupState.doc_ids").alias("n")
+        ).agg(
+            F.count("*"), F.max("n"), F.avg("n")
+        ).first()
+        _stream_gate_metrics.clear()
+        _stream_gate_metrics.update(
+            {
+                "stream_state_buckets": int(agg[0]),
+                "stream_state_max_docs_per_bucket": (
+                    int(agg[1]) if agg[1] is not None else 0
+                ),
+                "stream_state_avg_docs_per_bucket": (
+                    round(float(agg[2]), 2) if agg[2] is not None else 0.0
+                ),
+            }
+        )
+    except Exception:
+        pass  # metrics are best-effort; the gate itself is the sink
     return (
         spark.read.parquet(f"{out}/stream_near_dup")
         .select("doc_a", "doc_b")

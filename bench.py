@@ -100,6 +100,12 @@ def main():
         total += best
         extra[f"{name}_rows"] = n
 
+    # streaming state bound (round-6 verdict): rows in the state store
+    # == live buckets, members per bucket ≤ bucket_cap — measured on
+    # the persisted store of the streaming_near_dup run above via the
+    # Spark 4 state-store reader, not inferred from the operator code
+    extra.update(entrymod._stream_gate_metrics)
+
     # ANN quality: IVF recall@5 vs brute force (the bench's accuracy
     # counterweight to the ivf speedup) at nprobe 1/2/4, plus the LSH
     # candidate ratio (banded candidates / jaccard-confirmed pairs —
