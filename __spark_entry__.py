@@ -351,7 +351,7 @@ def _q_kg_fuzzy_link(spark, sf_dir):
     documents: the surface stream mixes exact customer names (which the
     broadcast dictionary join links directly) with misspelled ones
     (first char dropped); only the UNLINKED tail reaches the LSH stage,
-    where char-3-gram banded minhash blocking (8 bands × 3 rows,
+    where char-4-gram banded minhash blocking (8 bands × 3 rows,
     S-curve threshold = the 0.5 jaccard gate) feeds exact Jaccard ≥ 0.5
     inside the candidate set, best match per surface. Grams shared by
     >20% of the dictionary (the constant 'Customer#0…' prefix) are
@@ -384,6 +384,11 @@ def _q_kg_fuzzy_link(spark, sf_dir):
         rows_per_band=3,
         min_jaccard=0.5,
         max_df_frac=0.2,
+        # q=4: the digit-span gram universe (10⁴) must exceed the
+        # dictionary cardinality or candidates go quadratic in |dict| —
+        # measured 65 → 654 candidates/link at q=3 going sf0.1 → sf1
+        # (15k → 150k names). q=4 holds the ratio flat to ~1M entries.
+        gram_size=4,
     )
 
 
@@ -2033,12 +2038,14 @@ def oracle_sql() -> dict[str, str]:
         FROM o
     """
 
+    # 4-grams (mirrors gram_size=4 in _q_kg_fuzzy_link: digit-span
+    # universe 10⁴ > |dict|, so candidates stay linear at 10× scale)
     _grams = (
         "list_distinct(list_transform("
-        "generate_series(1, greatest(length(p) - 2, 1)), i -> substr(p, i, 3)))"
+        "generate_series(1, greatest(length(p) - 3, 1)), i -> substr(p, i, 4)))"
     )
     _pad = (
-        "'  ' || trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) || '  '"
+        "'   ' || trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) || '   '"
     )
     # banded gram-minhash: 24 hashes (4 md5 lanes × 6 seeds) → 8 bands
     # × 3 rows (S-curve threshold (1/8)^(1/3) = 0.5); grams shared by

@@ -161,15 +161,37 @@ def mentions_to_triples(linked: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _char3grams(col):
-    padded = F.concat(F.lit("  "), normalize_text(col), F.lit("  "))
+def _chargrams(col, q: int = 3):
+    """Distinct padded character q-grams of the normalized surface.
+
+    ``q`` is the ID-like-dictionary SCALE dial: on dictionaries whose
+    entries differ only in a short digit/ID tail (TPC-H names, SKUs,
+    user handles) the kept-gram universe after the df-cap is the
+    alphabet^q of the varying span (~10^q for digits). Blocking
+    candidates grow as Σ df² ≈ |dict|²·grams/universe, so once
+    |dict| approaches the universe size the candidate set turns
+    quadratic — measured 65 → 654 candidates per true link going
+    15k → 150k dictionary entries at q=3 (universe ~10³). Pick q so
+    the varying-span universe comfortably exceeds |dict|: q=3 to
+    ~10k entries, q=4 to ~1M, q=5 to ~100M; cost is only slightly
+    larger gram tables (one extra char per gram, ~same gram count).
+    Typo-recall is barely affected: an edit disturbs q adjacent
+    grams out of ~len(surface), so jaccard falls gently with q and
+    the prefix/banded blocking keys remain exact for the threshold.
+    """
+    pad = F.lit(" " * (q - 1))
+    padded = F.concat(pad, normalize_text(col), pad)
     n = F.length(padded)
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-            lambda i: F.substring(padded, i, 3),
+            F.sequence(F.lit(1), F.greatest(n - (q - 1), F.lit(1))),
+            lambda i: F.substring(padded, i, q),
         )
     )
+
+
+def _char3grams(col):
+    return _chargrams(col, 3)
 
 
 def _gram_sigs(gram_rows, id_cols, n_hashes: int, rows_per_band: int):
@@ -221,6 +243,7 @@ def _gram_tables(
     iri_dict: DataFrame,
     max_df: int | None,
     max_df_frac: float | None = None,
+    gram_size: int = 3,
 ):
     """Exploded, optionally df-capped gram tables for both sides:
     sg(surface, gram), dg(surface, iri, gram).
@@ -246,11 +269,13 @@ def _gram_tables(
     sg = (
         unlinked_surfaces.select("surface")
         .distinct()
-        .withColumn("grams", _char3grams(F.col("surface")))
+        .withColumn("grams", _chargrams(F.col("surface"), gram_size))
         .select("surface", F.explode("grams").alias("gram"))
     )
     dg = iri_dict.select(
-        "surface", "iri", F.explode(_char3grams(F.col("surface"))).alias("gram")
+        "surface",
+        "iri",
+        F.explode(_chargrams(F.col("surface"), gram_size)).alias("gram"),
     )
     if max_df is not None or max_df_frac is not None:
         dfs = dg.groupBy("gram").agg(F.count("*").alias("df"))
@@ -459,11 +484,18 @@ def fuzzy_link(
     max_df: int | None = None,
     max_df_frac: float | None = None,
     materialize: bool = True,
+    gram_size: int = 3,
 ) -> DataFrame:
-    """Char-3-gram banded-MinHash blocking between UNLINKED surfaces and
-    dict surfaces, then exact gram-Jaccard ≥ threshold inside the
-    candidate set, best match per surface. Input: (surface); output
-    (surface, iri, jaccard).
+    """Char-q-gram (default q=3) banded-MinHash blocking between
+    UNLINKED surfaces and dict surfaces, then exact gram-Jaccard ≥
+    threshold inside the candidate set, best match per surface. Input:
+    (surface); output (surface, iri, jaccard).
+
+    ``gram_size`` is the dictionary-cardinality scale dial — see
+    _chargrams: for ID-like dictionaries pick q so the varying-span
+    gram universe exceeds |dict| (q=3 → ~10k entries, q=4 → ~1M,
+    q=5 → ~100M), else blocking candidates grow quadratically in
+    |dict| no matter how exact the prefix/positional filters are.
 
     Feed this only the surfaces the exact broadcast join left unlinked
     (link_mentions → filter iri IS NULL): the LSH join then sees the
@@ -490,7 +522,9 @@ def fuzzy_link(
     source — measured ~1.7× slower at sf0.1. At 100 TB the gram tables
     would be a staged intermediate anyway.
     """
-    sg, dg = _gram_tables(unlinked_surfaces, iri_dict, max_df, max_df_frac)
+    sg, dg = _gram_tables(
+        unlinked_surfaces, iri_dict, max_df, max_df_frac, gram_size
+    )
     if materialize:
         sg = sg.localCheckpoint(eager=False)
         dg = dg.localCheckpoint(eager=False)
