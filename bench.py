@@ -197,7 +197,11 @@ def main():
             "iri"
         ),
     )
-    sg, dg = _gram_tables(surf, fdict, max_df=int(cust.count() * 0.2))
+    # gram_size mirrors _q_kg_fuzzy_link (q=4) so the audit measures
+    # the blocking the timed slot actually runs
+    sg, dg = _gram_tables(
+        surf, fdict, max_df=int(cust.count() * 0.2), gram_size=4
+    )
     n_cand = fuzzy_candidates(sg, dg).count()
     n_surf = surf.distinct().count()
     extra["fuzzy_link_candidates"] = n_cand

@@ -45,11 +45,206 @@ def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+# bit_length LUT for table sizes 0..4096 (code width = clamp of the
+# table size's bit length — the decoder bumps width exactly when the
+# table hits 1<<width, so width tracks bit_length(table_size))
+_BITLEN = np.zeros(4097, dtype=np.int64)
+_BITLEN[1:] = np.floor(np.log2(np.arange(1, 4097))).astype(np.int64) + 1
+
+
 def lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
     """GIF-variant LZW: variable code width starting min_code_size+1,
     clear = 2^mcs, end = clear+1, dictionary grows to 4096 entries.
     Decodes exactly ``expect`` indices (trailing junk tolerated per
-    the many real-world writers that pad)."""
+    the many real-world writers that pad).
+
+    Batched, not per-symbol (round-7 kernel rewrite, differentially
+    fuzzed against _lzw_decode_ref):
+
+    * code extraction is numpy-vectorized per CLEAR segment — between
+      clear codes the width schedule is a pure function of the code
+      index (the table grows by exactly one entry per non-first code
+      until 4096), so all code bit-offsets are a cumsum and the codes
+      gather as three byte lanes instead of a Python bit-reservoir
+      loop;
+    * the table never materializes strings: every new entry is
+      ``prev + first char of current``, which is exactly the
+      contiguous OUTPUT span [opos - len(prev), opos] — two int lists
+      (start, len) replace the bytes dictionary;
+    * emission is two-pass per chunk: a pure-int planning loop
+      (no byte writes) records literal pixels and entry copies, then
+      all literals scatter in ONE numpy fancy-index write and entry
+      copies replay in order as memoryview memcpys. Copy sources
+      always lie strictly left of their destination (an entry's span
+      ends at or before the next emission start), so left-to-right
+      replay after the literal scatter is race-free — and per-pixel
+      cost FALLS as entries lengthen.
+    """
+    clear = 1 << min_code_size
+    end = clear + 1
+    w0 = min_code_size + 1
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    d = np.concatenate([d, np.zeros(2, dtype=np.uint32)])
+    bits_total = len(data) * 8
+
+    out = bytearray(expect + 4200)  # one entry may overshoot expect
+    outnp = np.frombuffer(out, dtype=np.uint8)  # writable view
+    mv = memoryview(out)
+    # table entry c (c >= clear+2): output span tstart[c] : +tlen[c]
+    tstart = [0] * (clear + 2)
+    tlen = [0] * (clear + 2)
+    opos = 0
+    bitpos = 0
+    k_seg = 0  # codes consumed in the current clear-segment
+    prev_len = 0  # 0 <=> no prev (segment start)
+    prev_start = 0
+    ended = False
+
+    while opos < expect and not ended:
+        # ---- batch-extract codes for the current segment tail ----
+        chunk = 8192
+        k = np.arange(k_seg, k_seg + chunk)
+        # table size before reading code k of the segment
+        t = np.minimum((clear + 2) + np.maximum(0, k - 1), 4096)
+        w = np.clip(_BITLEN[t], w0, 12)
+        offs = bitpos + np.concatenate(([0], np.cumsum(w)[:-1]))
+        ends = offs + w
+        m = int(np.searchsorted(ends, bits_total, side="right"))
+        if m == 0:
+            raise ValueError("truncated GIF LZW stream")
+        byte = offs[:m] >> 3
+        sh = (offs[:m] & 7).astype(np.uint32)
+        codes = (
+            (d[byte] | (d[byte + 1] << 8) | (d[byte + 2] << 16)) >> sh
+        ) & ((np.uint32(1) << w[:m].astype(np.uint32)) - np.uint32(1))
+        # widths computed above assume no clear before each code in
+        # THIS segment — truncate at the first clear/end, whose own
+        # width is still valid
+        stop = np.nonzero((codes == clear) | (codes == end))[0]
+        lim = min((int(stop[0]) if len(stop) else m) + 1, m)
+        code_list = codes[:lim].tolist()
+        end_list = ends[:lim].tolist()
+        # next non-literal index at or after j (literal-run fast path)
+        nonlit = np.nonzero(codes[:lim] >= clear)[0].tolist()
+
+        # ---- pass 1: pure-int planning (no byte writes) ----
+        lit_runs: list[tuple[int, int, int]] = []  # (opos, j0, r)
+        lit_pos: list[int] = []
+        lit_val: list[int] = []
+        copies: list[tuple[int, int, int]] = []
+        err = None
+        ni = 0  # cursor into nonlit
+        j = 0
+        while j < lim:
+            code = code_list[j]
+            # maximal literal-run fast path: r consecutive codes
+            # < clear, each emitting one pixel and adding one
+            # length-2 table entry at closed-form positions
+            if code < clear and prev_len != 0:
+                while ni < len(nonlit) and nonlit[ni] < j:
+                    ni += 1
+                j_end = nonlit[ni] if ni < len(nonlit) else lim
+                r = j_end - j
+                if r > 1:
+                    if opos + r > expect:
+                        r = expect - opos  # ref stops AT expect
+                    n = len(tstart)
+                    r_add = min(r, 4096 - n)
+                    if r_add > 0:
+                        tstart.append(opos - prev_len)
+                        tlen.append(prev_len + 1)
+                        if r_add > 1:
+                            tstart.extend(range(opos, opos + r_add - 1))
+                            tlen.extend([2] * (r_add - 1))
+                    lit_runs.append((opos, j, r))
+                    prev_start = opos + r - 1
+                    prev_len = 1
+                    opos += r
+                    k_seg += r
+                    j += r
+                    bitpos = end_list[j - 1]
+                    if opos >= expect:
+                        break
+                    continue
+            if code == clear:
+                tstart = [0] * (clear + 2)
+                tlen = [0] * (clear + 2)
+                k_seg = 0
+                prev_len = 0
+                bitpos = end_list[j]
+                break
+            if code == end:
+                ended = True
+                bitpos = end_list[j]
+                break
+            k_seg += 1
+            bitpos = end_list[j]
+            n = len(tstart)
+            if prev_len == 0:
+                if code >= n:
+                    err = "GIF LZW code before any literal"
+                    break
+                lit_pos.append(opos)
+                lit_val.append(code)
+                prev_start = opos
+                prev_len = 1
+                opos += 1
+            elif code < n:
+                if code < clear:
+                    cur_len = 1
+                    lit_pos.append(opos)
+                    lit_val.append(code)
+                else:
+                    cur_len = tlen[code]
+                    copies.append((opos, tstart[code], cur_len))
+                if n < 4096:
+                    tstart.append(opos - prev_len)
+                    tlen.append(prev_len + 1)
+                prev_start = opos
+                prev_len = cur_len
+                opos += cur_len
+            elif code == n and n < 4096:
+                # entry = prev + prev[0]; its content IS this emission
+                copies.append((opos, prev_start, prev_len))
+                copies.append((opos + prev_len, prev_start, 1))
+                cur_len = prev_len + 1
+                tstart.append(opos)
+                tlen.append(cur_len)
+                prev_start = opos
+                prev_len = cur_len
+                opos += cur_len
+            else:
+                err = f"GIF LZW code {code} out of range"
+                break
+            if opos >= expect:
+                break
+            j += 1
+
+        # ---- pass 2: vectorized literal scatter, then entry copies
+        # in order (sources are strictly left of destinations) ----
+        for p0, j0, r in lit_runs:
+            outnp[p0 : p0 + r] = codes[j0 : j0 + r]
+        if lit_pos:
+            outnp[np.array(lit_pos)] = np.array(lit_val, dtype=np.uint8)
+        for dst, src, ln in copies:
+            if ln == 1:
+                out[dst] = out[src]
+            else:
+                e = dst + ln
+                mv[dst:e] = mv[src : src + ln]
+        if err is not None:
+            raise ValueError(err)
+
+    if opos < expect:
+        raise ValueError(
+            f"GIF LZW stream ended early: {opos}/{expect} pixels"
+        )
+    return bytes(out[:expect])
+
+
+def _lzw_decode_ref(data: bytes, min_code_size: int, expect: int) -> bytes:
+    """Per-symbol reference decoder (the pre-round-7 implementation),
+    kept as the differential-fuzz oracle for lzw_decode."""
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()

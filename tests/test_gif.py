@@ -61,6 +61,62 @@ class TestLzw:
         with pytest.raises(ValueError, match="truncated GIF LZW|ended early"):
             lzw_decode(enc[: len(enc) // 2], 2, 100)
 
+    def test_differential_vs_reference_decoder(self):
+        """The round-7 batched decoder (numpy code extraction +
+        two-pass literal-scatter/copy emission) against the per-symbol
+        reference, over all encoder-reachable stream shapes PLUS
+        truncated/junk-suffixed streams and short `expect` reads —
+        outcome (bytes or error class) must match exactly."""
+        import random
+
+        from kgt.textops.gif import _lzw_decode_ref
+
+        rng = random.Random(23)
+        for trial in range(120):
+            mcs = rng.choice([2, 3, 4, 5, 6, 7, 8])
+            n = rng.randrange(0, 2500)
+            style = rng.randrange(5)
+            if style == 0:
+                data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+            elif style == 1:
+                data = bytes([rng.randrange(1 << mcs)]) * n if n else b""
+            elif style == 2:
+                pat = bytes(
+                    rng.randrange(1 << mcs)
+                    for _ in range(rng.randrange(1, 9))
+                )
+                data = (pat * (n // len(pat) + 1))[:n]
+            elif style == 3:
+                data = bytes(
+                    min(i % (1 << mcs), (i // 7) % (1 << mcs))
+                    for i in range(n)
+                )
+            else:
+                half = n // 2
+                data = bytes(
+                    rng.randrange(1 << mcs) for _ in range(half)
+                ) + bytes([1] * (n - half))
+            enc = lzw_encode(data, mcs)
+            assert lzw_decode(enc, mcs, n) == data
+            if n:
+                e2 = rng.randrange(0, n)
+                assert lzw_decode(enc, mcs, e2) == _lzw_decode_ref(
+                    enc, mcs, e2
+                )
+            for cut in (len(enc) // 3, len(enc) - 1):
+                blob = enc[:cut] + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(4))
+                )
+                try:
+                    r1 = ("ok", _lzw_decode_ref(blob, mcs, n))
+                except ValueError as e:
+                    r1 = ("err", str(e).split(":")[0])
+                try:
+                    r2 = ("ok", lzw_decode(blob, mcs, n))
+                except ValueError as e:
+                    r2 = ("err", str(e).split(":")[0])
+                assert r1 == r2, (trial, cut, r1[0], r2[0])
+
 
 class TestGif:
     def test_single_frame_round_trip(self):
