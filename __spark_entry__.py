@@ -743,12 +743,22 @@ def _q_lineitem_cube(spark, sf_dir):
 def _q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # integer microseconds, NOT unix_timestamp: whole-second truncation
+    # mislabeled a 1799.34 s gap as a session boundary at sf0.1 (real
+    # session_window compares full-precision timestamps; the oracle's
+    # epoch_us is the same exact integer)
+    # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is exact under the
+    # session's pinned UTC zone (session.py), which unix_micros needs
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us_prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap = us - us_prev
     sess = (
         ev.withColumn(
             "new_sess",
             # >= : session_window semantics (half-open [start, last+gap))
-            F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0),
+            F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(
+                0
+            ),
         )
         .withColumn(
             "sess_id",
@@ -2414,7 +2424,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_sessionize"] = """
         WITH g AS (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
