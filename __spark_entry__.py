@@ -62,6 +62,35 @@ _stream_gate_metrics: dict = {}
 _recovery_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
+def collect_stream_gate_metrics(spark) -> dict:
+    """State-bound metrics for the LAST streaming_near_dup run,
+    measured on the persisted store via the Spark 4 state-store
+    reader: rows == live buckets, members per bucket ≤ bucket_cap.
+    Deliberately a separate call so the measurement scan is never
+    billed to the timed bench slot (r7 review)."""
+    ckpt = _stream_gate_metrics.get("_ckpt")
+    if not ckpt:
+        return {}
+    try:
+        st = spark.read.format("statestore").load(ckpt)
+        agg = st.select(
+            F.size("value.groupState.doc_ids").alias("n")
+        ).agg(
+            F.count("*"), F.max("n"), F.avg("n")
+        ).first()
+        return {
+            "stream_state_buckets": int(agg[0]),
+            "stream_state_max_docs_per_bucket": (
+                int(agg[1]) if agg[1] is not None else 0
+            ),
+            "stream_state_avg_docs_per_bucket": (
+                round(float(agg[2]), 2) if agg[2] is not None else 0.0
+            ),
+        }
+    except Exception:
+        return {}  # best-effort; the gate itself is the sink
+
+
 def _recovery_extracted(spark, sf_dir):
     """The with_errors orders extraction, materialized ONCE per
     (session, sf_dir) — kg_recovery_quarantine and kg_recovery_triples
@@ -1852,30 +1881,12 @@ def _q_streaming_near_dup(spark, sf_dir):
     from kgt.streaming.extract import drain_streaming_query
 
     drain_streaming_query(q)
-    # measure the state bound on the actual persisted rows (Spark 4
-    # state-store reader): rows == live buckets; members per bucket
-    # capped at bucket_cap — recorded for the bench extras
-    try:
-        st = spark.read.format("statestore").load(ckpt)
-        agg = st.select(
-            F.size("value.groupState.doc_ids").alias("n")
-        ).agg(
-            F.count("*"), F.max("n"), F.avg("n")
-        ).first()
-        _stream_gate_metrics.clear()
-        _stream_gate_metrics.update(
-            {
-                "stream_state_buckets": int(agg[0]),
-                "stream_state_max_docs_per_bucket": (
-                    int(agg[1]) if agg[1] is not None else 0
-                ),
-                "stream_state_avg_docs_per_bucket": (
-                    round(float(agg[2]), 2) if agg[2] is not None else 0.0
-                ),
-            }
-        )
-    except Exception:
-        pass  # metrics are best-effort; the gate itself is the sink
+    # stash the checkpoint path; the state-bound metrics scan runs
+    # OUTSIDE the timed slot via collect_stream_gate_metrics (an eager
+    # statestore aggregation here would bill a 386k-row measurement
+    # read to every bench sample — r7 review)
+    _stream_gate_metrics.clear()
+    _stream_gate_metrics["_ckpt"] = ckpt
     return (
         spark.read.parquet(f"{out}/stream_near_dup")
         .select("doc_a", "doc_b")

@@ -104,7 +104,7 @@ def main():
     # == live buckets, members per bucket ≤ bucket_cap — measured on
     # the persisted store of the streaming_near_dup run above via the
     # Spark 4 state-store reader, not inferred from the operator code
-    extra.update(entrymod._stream_gate_metrics)
+    extra.update(entrymod.collect_stream_gate_metrics(spark))
 
     # ANN quality: IVF recall@5 vs brute force (the bench's accuracy
     # counterweight to the ivf speedup) at nprobe 1/2/4, plus the LSH

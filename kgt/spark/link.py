@@ -190,10 +190,6 @@ def _chargrams(col, q: int = 3):
     )
 
 
-def _char3grams(col):
-    return _chargrams(col, 3)
-
-
 def _gram_sigs(gram_rows, id_cols, n_hashes: int, rows_per_band: int):
     """BANDED char-gram MinHash signatures from exploded (id…, gram)
     rows: (id_cols..., band, mh).

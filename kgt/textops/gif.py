@@ -80,6 +80,12 @@ def lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
       replay after the literal scatter is race-free — and per-pixel
       cost FALLS as entries lengthen.
     """
+    if min_code_size > 8:
+        # GIF literal codes are palette indices (bytes); mcs >= 9 would
+        # put literals >= 256, which the uint8 scatter below would wrap
+        # silently. The per-symbol decoder rejected these at table init
+        # (bytes([i]) raises for i >= 256) — keep that contract.
+        raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     w0 = min_code_size + 1
@@ -426,7 +432,7 @@ def decode_gif(payload: bytes):
                 raise ValueError("GIF image has no color table")
             mcs = payload[pos]
             pos += 1
-            if not 2 <= mcs <= 11:
+            if not 2 <= mcs <= 8:
                 raise ValueError(f"bad GIF LZW minimum code size {mcs}")
             data, pos = _sub_blocks(payload, pos)
             idx = lzw_decode(data, mcs, iw * ih)

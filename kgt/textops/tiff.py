@@ -344,14 +344,23 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         elif comp == 5:
             strip = tiff_lzw_decode(data, expected)
         elif comp in (8, 32946):
+            # bound decompression by the declared strip size (+1 to
+            # detect overflow) — a crafted strip must not be able to
+            # inflate multi-GB before the length check rejects it
             try:
-                strip = zlib.decompress(data)
+                dec = zlib.decompressobj()
+                strip = dec.decompress(data, expected + 1)
             except zlib.error as exc:
                 raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
-            if len(strip) != expected:
+            if (
+                len(strip) != expected
+                or dec.unconsumed_tail
+                or dec.unused_data
+                or not dec.eof
+            ):
                 raise ValueError(
-                    f"TIFF deflate strip decoded {len(strip)} bytes, "
-                    f"expected {expected}"
+                    f"TIFF deflate strip decoded {len(strip)} bytes "
+                    f"(eof={dec.eof}), expected {expected}"
                 )
         else:
             strip = packbits_decode(data, expected)

@@ -31,6 +31,20 @@ class TestLzw:
         enc = lzw_encode(data, 2)
         assert lzw_decode(enc, 2, len(data)) == data
 
+    @pytest.mark.parametrize("mcs", [9, 10, 11, 12])
+    def test_mcs_over_8_rejected(self, mcs):
+        """GIF literal codes are palette indices (bytes), so mcs >= 9
+        is invalid; the batched decoder must reject it like the
+        per-symbol decoder did (bytes([i]) raised at table init for
+        i >= 256) rather than wrap literals mod 256 into silently
+        wrong pixels (r7 review)."""
+        from kgt.textops.gif import _lzw_decode_ref
+
+        with pytest.raises(ValueError):
+            lzw_decode(b"\x00\x01\x02\x03", mcs, 4)
+        with pytest.raises(ValueError):
+            _lzw_decode_ref(b"\x00\x01\x02\x03", mcs, 4)
+
     @pytest.mark.parametrize("mcs", [2, 4, 8])
     def test_round_trip_width_growth(self, mcs):
         """Enough distinct sequences to push the code width past

@@ -706,3 +706,21 @@ def test_tiff_deflate_roundtrip_and_errors():
     bad2 = good[:j] + padded + good[j + len(strip):]
     with pytest.raises(ValueError, match="deflate|expected"):
         decode_pixels(bad2)
+    # decompression bomb: a strip that would inflate ~1000:1 is
+    # rejected at expected+1 bytes, not after a multi-GB allocation
+    # (the decode is bounded like the LZW tier — r7 review)
+    bomb = zlib.compress(bytes(50_000_000), 9)  # ~48 KB compressed
+    over = encode_tiff(4, 4, bytes(48), compression=8)
+    k = over.find(strip)
+    tracemalloc = __import__("tracemalloc")
+    bombed = bytearray(over[:k] + bomb + over[k + len(strip):])
+    # fix the strip byte count (tag 279) to the bomb's length
+    t = bombed.find(struct.pack("<H", 279))
+    assert t >= 0
+    bombed[t + 8 : t + 12] = struct.pack("<I", len(bomb))
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="deflate|expected"):
+        decode_pixels(bytes(bombed))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 5_000_000  # nowhere near the 50 MB plaintext

@@ -420,16 +420,26 @@ def test_streaming_near_dup_state_bounded_at_ttl(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     q = streaming_near_dup(stream, out, ckpt, ttl_seconds=ttl, bucket_cap=cap)
     assert drain_streaming_query(q, 120)
+    elapsed1 = time.time() - t0
 
     recs = spark.read.format("statestore").load(ckpt).collect()
-    # one state row per bucket, exactly the n_bands live buckets —
-    # NOT one per doc: 10 docs × 8 bands fed the operator, yet the
-    # store holds 8 rows ≤ live_buckets × 1
-    assert len(recs) == n_bands
-    # the cap bound holds on every persisted row
+    # the bound holds UNCONDITIONALLY on every persisted row: rows ≤
+    # live buckets (never one per doc), members ≤ bucket_cap,
+    # saturated buckets stay saturated
+    assert len(recs) <= n_bands
     for r in recs:
         assert len(r["value"]["groupState"]["doc_ids"]) <= cap
         assert bool(r["value"]["groupState"]["saturated"])
+    # exact counts are only deterministic while run 1 stayed inside
+    # the TTL margin — on a loaded box the query's own trailing empty
+    # batches may retire buckets early (wall-clock race, r7 review);
+    # the bound asserts above are the verdict's actual ask
+    run1_inside_ttl = elapsed1 <= ttl - 5
+    if run1_inside_ttl:
+        # one state row per bucket, exactly the n_bands live buckets —
+        # NOT one per doc: 10 docs × 8 bands fed the operator, yet the
+        # store holds 8 rows
+        assert len(recs) == n_bands
 
     # past the TTL: new data in NEW buckets; the first batch that runs
     # after the deadline must retire every run-1 bucket
@@ -439,21 +449,30 @@ def test_streaming_near_dup_state_bounded_at_ttl(spark, tmp_path):
     spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
         1
     ).write.mode("append").parquet(src)
+    t1 = time.time()
     q2 = streaming_near_dup(
         spark.readStream.schema("doc_id long, text string").parquet(src),
         out, ckpt, ttl_seconds=ttl, bucket_cap=cap,
     )
     assert drain_streaming_query(q2, 120)
+    elapsed2 = time.time() - t1
     removed = sum(
         p["stateOperators"][0]["numRowsRemoved"]
         for p in q2.recentProgress
         if p["stateOperators"]
     )
-    assert removed == n_bands  # all 8 expired buckets retired
+    # every run-1 bucket is past its deadline, so run 2 must retire
+    # whatever run 1's trailing batches hadn't already; the exact
+    # count is deterministic only inside the timing margins
+    if run1_inside_ttl and elapsed2 <= ttl - 5:
+        assert removed == n_bands  # all 8 expired buckets retired
 
     recs2 = spark.read.format("statestore").load(ckpt).collect()
-    # retired buckets are GONE: only the new corpus' buckets remain
-    assert len(recs2) == n_bands
+    # retired buckets are GONE: only the new corpus' buckets remain —
+    # the membership and cap bounds hold regardless of wall-clock
+    assert len(recs2) <= n_bands
+    if elapsed2 <= ttl - 5:
+        assert len(recs2) == n_bands
     live_members = {d for r in recs2 for d in r["value"]["groupState"]["doc_ids"]}
     assert live_members <= {100, 101, 102, 103}
     for r in recs2:
