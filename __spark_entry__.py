@@ -87,8 +87,11 @@ def collect_stream_gate_metrics(spark) -> dict:
                 round(float(agg[2]), 2) if agg[2] is not None else 0.0
             ),
         }
-    except Exception:
-        return {}  # best-effort; the gate itself is the sink
+    except Exception as e:
+        # no-silent-caps: the round's "measured, not assumed" state
+        # evidence must not vanish without a trace if the statestore
+        # reader schema drifts — ship a marker instead of nothing
+        return {"stream_state_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _recovery_extracted(spark, sf_dir):

@@ -88,17 +88,27 @@ def main():
     total = 0.0
     for name in headline:
         fn = qs[name]
-        best = None
+        best = first = None
         n = 0
         k = max(n_samples, 1) + (1 if name in noisy_extra_sample else 0)
         for _ in range(k):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
+            if first is None:
+                first = dt
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
         total += best
         extra[f"{name}_rows"] = n
+        # min-of-samples interacts with the session caches some slots
+        # share (e.g. _recovery_cache's localCheckpoint: sample 1 pays
+        # the parse, sample 2 counts checkpointed blocks) — when the
+        # first sample is much slower, surface it so the one-time
+        # materialization cost stays visible instead of min() hiding a
+        # regression in the cached computation (r7 review)
+        if first is not None and best > 0 and first > 1.5 * best:
+            extra[f"{name}_first_sample_sec"] = round(first, 3)
 
     # streaming state bound (round-6 verdict): rows in the state store
     # == live buckets, members per bucket ≤ bucket_cap — measured on
@@ -197,10 +207,12 @@ def main():
             "iri"
         ),
     )
-    # gram_size mirrors _q_kg_fuzzy_link (q=4) so the audit measures
-    # the blocking the timed slot actually runs
+    # gram_size AND the df-cap form mirror _q_kg_fuzzy_link (q=4,
+    # max_df_frac=0.2 — NOT a pre-floored integer, which diverges for
+    # dict sizes not divisible by 5) so the audit measures the blocking
+    # the timed slot actually runs
     sg, dg = _gram_tables(
-        surf, fdict, max_df=int(cust.count() * 0.2), gram_size=4
+        surf, fdict, max_df=None, max_df_frac=0.2, gram_size=4
     )
     n_cand = fuzzy_candidates(sg, dg).count()
     n_surf = surf.distinct().count()
@@ -311,7 +323,12 @@ def main():
     # scaling corpus; three samples inside one session is the r4-verdict
     # prescription for this slot
     parse_sec = None
-    n_parse_samples = 2 + (1 if "kg_parse_throughput" in noisy_extra_sample else 0)
+    # same sample policy as the headline loop: KGT_BENCH_SAMPLES is
+    # honored (KGT_BENCH_SAMPLES=1 really is single-shot + the noisy
+    # extra), instead of a hardcoded 3
+    n_parse_samples = max(n_samples, 1) + (
+        1 if "kg_parse_throughput" in noisy_extra_sample else 0
+    )
     for _ in range(n_parse_samples):
         t0 = time.perf_counter()
         n_rows = extract_triples(tx).count()

@@ -20,6 +20,19 @@ def get_spark(
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local-mode worker Python processes inherit PYTHONPATH from the
+    # driver's env, NOT the driver's sys.path — make the package root
+    # importable for them so entry points work from any cwd (on a real
+    # cluster spark-submit --py-files kgt.zip ships the package
+    # instead, see jobs/build_graph.py)
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         # ~cores locally; on a real cluster this scales with executors
         # (or is left to AQE coalescing from a higher initial value)

@@ -11,11 +11,14 @@ sorted by name). Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, ".")
+# script-relative, not cwd-relative: the gate must import THIS repo's
+# __spark_entry__ no matter where it's invoked from
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def norm_cell(v):
@@ -60,6 +63,15 @@ def main():
     import __spark_entry__ as entrymod
     from kgt.spark.session import get_spark
 
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    unknown = only - qs.keys()
+    if unknown:
+        # a typo'd name must not read as a green gate for a query that
+        # was never checked — and fail before paying Spark startup
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
+
     spark = get_spark("oracle-check", cpus=8)
 
     con = duckdb.connect()
@@ -71,8 +83,6 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -119,8 +129,9 @@ def main():
                 lo = sorted(
                     "\x1f".join(norm_cell(r[i]) for i in order_o) for r in orows
                 )
-                diff_s = [x for x in ls if x not in set(lo)][:3]
-                diff_o = [x for x in lo if x not in set(ls)][:3]
+                set_lo, set_ls = set(lo), set(ls)
+                diff_s = [x for x in ls if x not in set_lo][:3]
+                diff_o = [x for x in lo if x not in set_ls][:3]
                 problems.append(f"spark-only: {diff_s}")
                 problems.append(f"oracle-only: {diff_o}")
         if problems:

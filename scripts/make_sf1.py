@@ -103,14 +103,13 @@ def scale_table(name: str, outdir: str) -> int:
             t = t.set_column(ni, t.schema.field("s_name"), names)
         if name == "documents" and k > 0:
             texts = t["text"].to_pylist()
-            remapped = pa.array(
-                [_remap_text(x, k) for x in texts], type=pa.string()
-            )
+            remapped_list = [_remap_text(x, k) for x in texts]
+            remapped = pa.array(remapped_list, type=pa.string())
             ti = t.schema.get_field_index("text")
             t = t.set_column(ti, t.schema.field("text"), remapped)
             ni = t.schema.get_field_index("n_chars")
             n_chars = pa.array(
-                [len(x) for x in remapped.to_pylist()], type=pa.int64()
+                [len(x) for x in remapped_list], type=pa.int64()
             )
             t = t.set_column(ni, t.schema.field("n_chars"), n_chars)
         if name == "embeddings" and k > 0:
