@@ -529,3 +529,123 @@ def test_bitwriter_is_linear_and_cache_bounded():
         bits[7] = 2
         _decode_lut(tuple(bits), (n & 0xFF, (n + 1) & 0xFF))
     assert len(_LUT_CACHE) <= 64
+
+
+def test_fused_lut_differential_vs_spec_semantics():
+    """Round-7 fused peek-16 tables, pinned window-by-window against
+    independently-implemented T.81 semantics: for every 16-bit window
+    and every (random, adversarial) canonical table, the fused entry
+    must agree with 'walk the canonical code prefix, then read SIZE
+    mantissa bits and EXTEND them' — including the slow-path marker
+    whenever codelen + size > 16 (the boundary the >99% fast path is
+    allowed to skip) and the bad-AC-symbol / EOB / ZRL specials.
+    The engine's own encoder only emits K.3-style tables, so without
+    this the fused path was never exercised against the per-image
+    optimized tables real corpora (mozjpeg, jpegtran -optimize)
+    contain."""
+    import random
+
+    from kgt.textops.jpeg import _FUSED_CACHE, _fused_lut
+
+    def extend(raw, size):  # T.81 F.2.2.1 EXTEND
+        return raw - ((1 << size) - 1) if raw < (1 << (size - 1)) else raw
+
+    def spec_decode(window, codes, kind):
+        """Independent window decode: longest-prefix canonical match,
+        then mantissa per the DC/AC symbol semantics."""
+        for sym, length, code in codes:
+            if (window >> (16 - length)) == code:
+                if kind == "dc":
+                    size = sym
+                    run = None
+                else:
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if sym == 0:
+                            return ("eob", length)
+                        if run == 15:
+                            return ("val", 0, 16, length)
+                        return ("bad",)
+                if kind == "dc" and size == 0:
+                    return ("val", 0, None, length)
+                if size > 15 or length + size > 16:
+                    return ("slow", sym, length)
+                raw = (window >> (16 - length - size)) & ((1 << size) - 1)
+                return ("val", extend(raw, size), run, length + size)
+        return ("none",)
+
+    def check(kind, bits, vals):
+        codes = []
+        code = 0
+        k = 0
+        for length in range(1, 17):  # canonical walk, re-derived here
+            for _ in range(bits[length - 1]):
+                codes.append((vals[k], length, code))
+                code += 1
+                k += 1
+            code <<= 1
+        lut = _fused_lut(kind, tuple(bits), tuple(vals))
+        for w in range(65536):
+            got = lut[w]
+            want = spec_decode(w, codes, kind)
+            if want[0] == "none":
+                assert got == 0, (kind, w)
+            elif want[0] == "bad":
+                assert got == 1, (kind, w)
+            elif want[0] == "eob":
+                assert got == 32 | want[1], (kind, w)
+            elif want[0] == "slow":
+                assert got == -((want[1] << 5) | want[2]), (kind, w)
+            else:
+                _tag, v, run, nbits = want
+                if kind == "dc":
+                    assert got == ((v + 32768) << 6) | nbits, (kind, w, want)
+                else:
+                    assert got == ((v + 32768) << 11) | (
+                        (16 if run is None else run) << 6
+                    ) | nbits, (kind, w, want)
+
+    rng = random.Random(42)
+
+    def random_table(kind):
+        # random VALID canonical spec: at each length, assign at most
+        # the remaining code space minus one slot (keep it non-overfull)
+        bits = [0] * 16
+        vals = []
+        code = 0
+        for li in range(16):
+            avail = (1 << (li + 1)) - code
+            take = rng.randint(0, min(avail - 1, 5)) if avail > 1 else 0
+            if li == 15 and avail > 0 and rng.random() < 0.5:
+                take = min(avail, 5)  # allow a full last level sometimes
+            bits[li] = take
+            code = (code + take) << 1
+            for _ in range(take):
+                if kind == "dc":
+                    # mostly legal sizes 0-15; occasionally a corrupt
+                    # DHT symbol > 15, which must route to the slow
+                    # path (where the scan loop rejects it), never
+                    # into a bogus fused fast entry
+                    vals.append(
+                        rng.randint(16, 255) if rng.random() < 0.1
+                        else rng.randint(0, 15)
+                    )
+                else:
+                    # bias toward edge symbols: EOB, ZRL, bad size-0
+                    # runs, and big sizes that force the slow path
+                    r = rng.random()
+                    if r < 0.15:
+                        vals.append(rng.choice([0x00, 0xF0, 0x30, 0x70]))
+                    else:
+                        vals.append(
+                            (rng.randint(0, 15) << 4) | rng.randint(0, 15)
+                        )
+        return bits, vals
+
+    for kind in ("dc", "ac"):
+        for _ in range(12):
+            bits, vals = random_table(kind)
+            if sum(bits) == 0:
+                continue
+            _FUSED_CACHE.clear()
+            check(kind, bits, vals)
