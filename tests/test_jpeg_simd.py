@@ -1,0 +1,180 @@
+"""Differential fuzz of the lockstep (batch-SIMD) JPEG entropy
+decoder (kgt/textops/jpeg_simd.py) against the serial per-symbol
+decoder (kgt/textops/jpeg.py) — the serial path is the oracle for
+both decoded bytes and error behavior.
+
+Covers: the encoder's full mode matrix (sizes incl. 1x1 and
+non-MCU-aligned, qualities, 4:4:4/4:2:0/4:2:2, grayscale, restart
+intervals, progressive fallbacks), malformed streams (truncations,
+bit flips — the serial-retry path must reproduce exact errors),
+mixed and mixed-quality batches, reconstruct chunk boundaries, and
+the single-image restart-segment lockstep dispatch.
+"""
+
+import numpy as np
+import pytest
+
+import kgt.textops.jpeg as J
+import kgt.textops.jpeg_simd as S
+
+
+@pytest.fixture(autouse=True)
+def _restore_knobs():
+    en, ms = S.LOCKSTEP_ENABLED, S.LOCKSTEP_MIN_STREAMS
+    yield
+    S.LOCKSTEP_ENABLED, S.LOCKSTEP_MIN_STREAMS = en, ms
+
+
+def _serial(pay):
+    S.LOCKSTEP_ENABLED = False
+    try:
+        return ("ok", J.decode_jpeg(pay))
+    except Exception as ex:
+        return ("err", type(ex).__name__, str(ex))
+    finally:
+        S.LOCKSTEP_ENABLED = True
+
+
+def _both(pay):
+    """(single-decode outcome, 20x-batch outcome) under lockstep."""
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    try:
+        single = ("ok", J.decode_jpeg(pay))
+    except Exception as ex:
+        single = ("err", type(ex).__name__, str(ex))
+    try:
+        batch = ("ok", S.decode_jpeg_batch([pay] * 20))
+    except Exception as ex:
+        batch = ("err", type(ex).__name__, str(ex))
+    return single, batch
+
+
+def _assert_parity(pay, tag):
+    ref = _serial(pay)
+    single, batch = _both(pay)
+    assert single == ref, f"single {tag}: {ref[:2]} != {single[:2]}"
+    if ref[0] == "ok":
+        assert batch[0] == "ok" and all(
+            o == ref[1] for o in batch[1]
+        ), f"batch {tag}"
+    else:
+        # the batch contract: first failing image raises identically
+        assert batch[:3] == ref[:3], f"batch err {tag}: {ref} != {batch[:3]}"
+
+
+def test_mode_matrix_differential():
+    rng = np.random.default_rng(11)
+    for w, h in [(8, 8), (17, 13), (33, 31), (1, 1), (7, 3)]:
+        for q in (30, 85, 97):
+            for nch, subs in ((3, ("444", "420", "422")), (1, ("444",))):
+                for sub in subs:
+                    for ri, prog in [
+                        (0, False), (1, False), (3, False),
+                        (0, "ss"), (0, "sa"),
+                    ]:
+                        px = rng.integers(
+                            0, 256, size=w * h * nch, dtype=np.uint8
+                        ).tobytes()
+                        pay = J.encode_jpeg(
+                            w, h, px, n_channels=nch, quality=q,
+                            subsample=sub, restart_interval=ri,
+                            progressive=prog,
+                        )
+                        _assert_parity(pay, (w, h, q, nch, sub, ri, prog))
+
+
+def test_malformed_streams_retry_serially_with_exact_errors():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=48 * 48 * 3, dtype=np.uint8).tobytes()
+    good = J.encode_jpeg(
+        48, 48, px, quality=85, subsample="420", restart_interval=1
+    )
+    before = S.STATS["serial_retries"]
+    for cut in range(len(good) - 1, len(good) - 100, -7):
+        _assert_parity(good[:cut], ("trunc", cut))
+    for pos in range(30, len(good) - 10, 53):
+        bad = bytearray(good)
+        bad[pos] ^= 0x5A
+        _assert_parity(bytes(bad), ("flip", pos))
+    # the anomaly path (lane kill -> serial retry) must have fired
+    assert S.STATS["serial_retries"] > before
+
+
+def test_mixed_batch_and_first_failure_raises_like_a_loop():
+    rng = np.random.default_rng(17)
+    mix = []
+    for i in range(60):
+        wi, hi = 16 + (i % 5) * 8, 16 + (i % 3) * 16
+        px = rng.integers(0, 256, size=wi * hi * 3, dtype=np.uint8).tobytes()
+        prog = [False, False, "ss"][i % 3]
+        mix.append(
+            J.encode_jpeg(
+                wi, hi, px, quality=[50, 75, 95][i % 3],
+                subsample=["444", "420"][i % 2],
+                restart_interval=([0, 2][i % 2] if not prog else 0),
+                progressive=prog,
+            )
+        )
+    refs = [_serial(p) for p in mix]
+    assert all(r[0] == "ok" for r in refs)
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    assert S.decode_jpeg_batch(mix) == [r[1] for r in refs]
+    # inject a truncated image: the batch raises the loop's exact error
+    broken = mix[:10] + [mix[0][: len(mix[0]) // 2]] + mix[10:]
+    ref = _serial(broken[10])
+    assert ref[0] == "err"
+    with pytest.raises(Exception) as ei:
+        S.decode_jpeg_batch(broken)
+    assert (type(ei.value).__name__, str(ei.value)) == ref[1:]
+
+
+def test_mixed_quality_entropy_group_dequantizes_per_image():
+    # same huffman tables + geometry (one lockstep group), different
+    # quantization tables per image — dequant must stay per-image
+    rng = np.random.default_rng(19)
+    pays, refs = [], []
+    for i in range(30):
+        px = rng.integers(0, 256, size=32 * 32 * 3, dtype=np.uint8).tobytes()
+        p = J.encode_jpeg(
+            32, 32, px, quality=[50, 75, 95][i % 3], subsample="420"
+        )
+        pays.append(p)
+        refs.append(_serial(p)[1])
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    assert S.decode_jpeg_batch(pays) == refs
+
+
+def test_reconstruct_chunk_boundaries():
+    # group sizes straddling the batched-reconstruct chunk step for
+    # 16x16 images (step = 64000 // 256 = 250)
+    rng = np.random.default_rng(23)
+    base = []
+    for i in range(7):
+        px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+        base.append(J.encode_jpeg(16, 16, px, quality=85, subsample="420"))
+    refs = [_serial(p)[1] for p in base]
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    for n in (249, 250, 251, 501):
+        pays = (base * ((n + 6) // 7))[:n]
+        outs = S.decode_jpeg_batch(pays)
+        assert outs == [refs[i % 7] for i in range(n)], n
+
+
+def test_single_image_restart_segments_take_lockstep():
+    # one image whose scan splits into >= MIN_STREAMS restart segments
+    # decodes through maybe_lockstep_sequential (STATS proves engagement)
+    rng = np.random.default_rng(29)
+    px = rng.integers(0, 256, size=128 * 128 * 3, dtype=np.uint8).tobytes()
+    pay = J.encode_jpeg(
+        128, 128, px, quality=85, subsample="420", restart_interval=1
+    )  # 64 MCUs -> 64 segments
+    ref = _serial(pay)[1]
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 32
+    before = S.STATS["lockstep_streams"]
+    assert J.decode_jpeg(pay) == ref
+    assert S.STATS["lockstep_streams"] == before + 64
