@@ -311,6 +311,46 @@ def main():
         _best = _dt if _best is None else min(_best, _dt)
     extra["jpeg_decode_mpx_per_sec"] = round(256 * 256 / _best / 1e6, 3)
 
+    # JPEG lockstep batch-decode rate (single core): 1024 same-geometry
+    # 64×64 thumbnails (8 source images tiled — the Arrow-batch shape
+    # the mapInPandas decode paths see on a thumbnail corpus; Spark's
+    # default Arrow batch is 10k rows) through decode_jpeg_batch's
+    # numpy symbol-level lockstep kernel, vs the same list serially.
+    import kgt.textops.jpeg_simd as _jsimd
+
+    _thumbs = []
+    for _i in range(8):
+        _tpx = _np.clip(
+            128
+            + 100 * _np.sin((_jx[:64, :64] + 13 * _i) / (5.0 + _i))
+            + _jy[:64, :64] % 3,
+            0,
+            255,
+        ).astype(_np.uint8)
+        _thumbs.append(
+            encode_jpeg(
+                64, 64,
+                _np.repeat(_tpx[..., None], 3, axis=-1).tobytes(),
+                quality=85, subsample="420",
+            )
+        )
+    _batch = _thumbs * 128  # 1024 images = 1024 lockstep lanes
+    _mpx_in = 64 * 64 * len(_batch) / 1e6
+    _jsimd.LOCKSTEP_ENABLED = False
+    _t0 = time.perf_counter()
+    _ser = _jsimd.decode_jpeg_batch(_batch)
+    _ser_dt = time.perf_counter() - _t0
+    _jsimd.LOCKSTEP_ENABLED = True
+    _best = None
+    for _ in range(2):
+        _t0 = time.perf_counter()
+        _lk = _jsimd.decode_jpeg_batch(_batch)
+        _dt = time.perf_counter() - _t0
+        _best = _dt if _best is None else min(_best, _dt)
+    assert _lk == _ser  # correctness before speed
+    extra["jpeg_batch_decode_mpx_per_sec"] = round(_mpx_in / _best, 3)
+    extra["jpeg_lockstep_speedup"] = round(_ser_dt / _best, 2)
+
     # turns/sec: the north-rule throughput metric over the parse path
     from kgt.spark.parse import extract_triples
     from kgt.spark.transcripts import orders_transcripts

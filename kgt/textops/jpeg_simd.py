@@ -453,7 +453,7 @@ def _reconstruct_group(
     return [(w, h, 3, rgb[g].tobytes()) for g in range(G)]
 
 
-def decode_jpeg_batch(payloads) -> list:
+def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
     """Decode a batch of JPEGs, lockstepping same-geometry baseline
     images (each image contributes one stream per restart segment)
     through one numpy kernel.  Progressive, structurally ineligible,
@@ -461,6 +461,12 @@ def decode_jpeg_batch(payloads) -> list:
     step — decode serially.  Per-image results are bit-identical to
     :func:`kgt.textops.jpeg.decode_jpeg`; the first failing image in
     input order raises, matching a plain per-image decode loop.
+
+    ``keep_errors=True`` returns the exception OBJECT in that image's
+    result slot instead of raising — for callers interleaving JPEGs
+    with other formats (multimodal.py's mixed-media Arrow batches) who
+    must re-raise at the original ROW position to keep the per-row
+    loop's error order.
 
     Group key = frame geometry + scan layout + huffman table content
     (NOT quantization tables — entropy decode never touches those, so
@@ -575,5 +581,11 @@ def decode_jpeg_batch(payloads) -> list:
                 results[i] = rec
 
     for i in sorted(serial):
-        results[i] = decode_jpeg(payloads[i])
+        if keep_errors:
+            try:
+                results[i] = decode_jpeg(payloads[i])
+            except Exception as ex:
+                results[i] = ex
+        else:
+            results[i] = decode_jpeg(payloads[i])
     return results

@@ -366,12 +366,35 @@ def to_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def _decode_one(payload: bytes, fake: bool):
+def _batch_jpeg_map(payloads, fake: bool = False) -> dict:
+    """Pre-decode every JPEG in an Arrow batch through the lockstep
+    batch kernel (kgt/textops/jpeg_simd.py — same-geometry images
+    decode as parallel numpy lanes instead of per-symbol Python).
+    Returns {row index: decode tuple | exception}; the per-row loops
+    below re-raise a stored exception AT ITS ROW, so a mixed-format
+    batch keeps the exact error order of a plain per-row decode."""
+    if fake:
+        return {}
+    idx = [i for i, p in enumerate(payloads) if p[:2] == b"\xff\xd8"]
+    if not idx:
+        return {}
+    from kgt.textops.jpeg_simd import decode_jpeg_batch
+
+    recs = decode_jpeg_batch([payloads[i] for i in idx], keep_errors=True)
+    return dict(zip(idx, recs))
+
+
+def _decode_one(payload: bytes, fake: bool, jpeg_rec=None):
     if not fake:
         if payload[:8] == _PNG_SIG:
             w, h, _ch, _px = decode_png(payload)
             return len(payload), hashlib.md5(payload).hexdigest(), w, h
         if payload[:2] == b"\xff\xd8":
+            if isinstance(jpeg_rec, Exception):
+                raise jpeg_rec
+            if jpeg_rec is not None:
+                w, h, _ch, _px = jpeg_rec
+                return len(payload), hashlib.md5(payload).hexdigest(), w, h
             from kgt.textops.jpeg import decode_jpeg
 
             w, h, _ch, _px = decode_jpeg(payload)
@@ -407,8 +430,11 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            jmap = _batch_jpeg_map(payloads, fake)
             rows = [
-                _decode_one(p, fake) for p in pdf["payload"]
+                _decode_one(p, fake, jmap.get(i))
+                for i, p in enumerate(payloads)
             ]
             out = pd.DataFrame(
                 rows, columns=["n_bytes", "checksum", "width", "height"]
@@ -533,8 +559,10 @@ def resize(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFram
     def run(batches):
         for pdf in batches:
             recs = []
-            for p in pdf["payload"]:
-                _, _, w, h = _decode_one(p, fake)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            jmap = _batch_jpeg_map(payloads, fake)
+            for i, p in enumerate(payloads):
+                _, _, w, h = _decode_one(p, fake, jmap.get(i))
                 longest = max(w, h)
                 if longest <= max_side:
                     rw, rh = w, h
@@ -721,7 +749,7 @@ MEDIA_META_SCHEMA = (
 )
 
 
-def _media_meta_one(doc_id: int, p: bytes) -> tuple:
+def _media_meta_one(doc_id: int, p: bytes, jpeg_rec=None) -> tuple:
     """Signature-sniffed metadata for one payload across every format
     this engine decodes. Rounding convention: floor(x + 0.5) (half-up)
     for ms durations — the oracle-reproducible choice."""
@@ -732,9 +760,14 @@ def _media_meta_one(doc_id: int, p: bytes) -> tuple:
         w, h, _ch, _px = decode_png(p)
         return (doc_id, "image/png", nb, w, h, 1, None, None, None)
     if p[:2] == b"\xff\xd8":
-        from kgt.textops.jpeg import decode_jpeg
+        if isinstance(jpeg_rec, Exception):
+            raise jpeg_rec
+        if jpeg_rec is not None:
+            w, h, _ch, _px = jpeg_rec
+        else:
+            from kgt.textops.jpeg import decode_jpeg
 
-        w, h, _ch, _px = decode_jpeg(p)
+            w, h, _ch, _px = decode_jpeg(p)
         return (doc_id, "image/jpeg", nb, w, h, 1, None, None, None)
     if p[:6] in (b"GIF87a", b"GIF89a"):
         from kgt.textops.gif import decode_gif
@@ -830,9 +863,11 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            jmap = _batch_jpeg_map(payloads)
             rows = [
-                _media_meta_one(int(d), bytes(p))
-                for d, p in zip(pdf["doc_id"], pdf["payload"])
+                _media_meta_one(int(d), p, jmap.get(i))
+                for i, (d, p) in enumerate(zip(pdf["doc_id"], payloads))
             ]
             yield pd.DataFrame(
                 rows,

@@ -178,3 +178,56 @@ def test_single_image_restart_segments_take_lockstep():
     before = S.STATS["lockstep_streams"]
     assert J.decode_jpeg(pay) == ref
     assert S.STATS["lockstep_streams"] == before + 64
+
+
+def test_keep_errors_returns_exceptions_in_slot():
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, size=24 * 24 * 3, dtype=np.uint8).tobytes()
+    good = J.encode_jpeg(24, 24, px, quality=85)
+    bad = good[: len(good) // 2]
+    ref_good = _serial(good)
+    ref_bad = _serial(bad)
+    assert ref_bad[0] == "err"
+    out = S.decode_jpeg_batch([good, bad, good], keep_errors=True)
+    assert out[0] == ref_good[1] and out[2] == ref_good[1]
+    assert isinstance(out[1], Exception)
+    assert (type(out[1]).__name__, str(out[1])) == ref_bad[1:]
+
+
+def test_mixed_format_arrow_batch_keeps_row_error_order():
+    # the Spark UDF wiring: _batch_jpeg_map pre-decodes the JPEG rows
+    # (storing exceptions), _decode_one re-raises AT the row — so a
+    # bad PNG at an earlier row still fails before a bad JPEG later
+    from kgt.textops.multimodal import (
+        _batch_jpeg_map,
+        _decode_one,
+        _media_meta_one,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(37)
+    px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+    good_jpeg = J.encode_jpeg(16, 16, px, quality=85)
+    bad_jpeg = good_jpeg[:40]
+    good_png = encode_png(4, 4, bytes(48), color_type=2)
+    bad_png = good_png[:-8]
+    payloads = [good_jpeg, bad_png, bad_jpeg, good_png]
+    jmap = _batch_jpeg_map(payloads)
+    assert set(jmap) == {0, 2}
+    assert isinstance(jmap[2], Exception)
+    # row 0: precomputed rec == fresh per-row decode
+    assert _decode_one(payloads[0], False, jmap[0]) == _decode_one(
+        payloads[0], False
+    )
+    assert _media_meta_one(7, payloads[0], jmap[0]) == _media_meta_one(
+        7, payloads[0]
+    )
+    # the per-row loop hits row 1 (bad PNG) before row 2 (bad JPEG)
+    with pytest.raises(Exception):
+        _decode_one(payloads[1], False, jmap.get(1))
+    with pytest.raises(type(jmap[2])):
+        _decode_one(payloads[2], False, jmap[2])
+    with pytest.raises(type(jmap[2])):
+        _media_meta_one(9, payloads[2], jmap[2])
+    assert _batch_jpeg_map(payloads, fake=True) == {}
+    assert _batch_jpeg_map([good_png]) == {}
