@@ -374,7 +374,12 @@ def maybe_lockstep_sequential(comps, scans, mcux, mcuy):
     expected = -(-total // ri)
     if expected < LOCKSTEP_MIN_STREAMS or len(segments) < expected:
         return None
-    plan = _scan_plan(comps, scomps, specs)
+    try:
+        plan = _scan_plan(comps, scomps, specs)
+    except Exception:
+        # LUT build failed (e.g. overfull DHT): the serial path builds
+        # the same tables and raises the same error at its own point
+        plan = None
     if plan is None:
         return None
     rows_per = [mcuy * vi * mcux * hi for hi, vi, _d, _a in plan]
@@ -453,7 +458,9 @@ def _reconstruct_group(
     return [(w, h, 3, rgb[g].tobytes()) for g in range(G)]
 
 
-def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
+def decode_jpeg_batch(
+    payloads, keep_errors: bool = False, dims_only: bool = False
+) -> list:
     """Decode a batch of JPEGs, lockstepping same-geometry baseline
     images (each image contributes one stream per restart segment)
     through one numpy kernel.  Progressive, structurally ineligible,
@@ -468,6 +475,14 @@ def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
     must re-raise at the original ROW position to keep the per-row
     loop's error order.
 
+    ``dims_only=True`` returns (w, h, channels, None) per image: the
+    full entropy decode still runs (validation — reconstruct is pure
+    arithmetic and never raises, so errors are identical), but pixel
+    reconstruction is skipped and no pixel buffer outlives its image.
+    Without it, a 10k-row Arrow batch of megapixel JPEGs would hold
+    every decoded frame in memory at once just to read (w, h) — the
+    metadata/feature callers in multimodal.py all use this mode.
+
     Group key = frame geometry + scan layout + huffman table content
     (NOT quantization tables — entropy decode never touches those, so
     images differing only in quality still share a group; dequant runs
@@ -477,6 +492,7 @@ def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
     payloads = [bytes(p) for p in payloads]
     results: list = [None] * len(payloads)
     serial: list[int] = []
+    retry: set[int] = set()  # lockstep already ran and died: skip it
     groups: dict = {}
     if LOCKSTEP_ENABLED:
         for i, p in enumerate(payloads):
@@ -520,10 +536,16 @@ def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
             continue
         (w, h, comps, _qt, scans, _pr, hmax, vmax, mcux, mcuy) = members[0][1]
         scomps, _ss, _se, _ah, _al, _segs, ri, specs = scans[0]
-        plan = _scan_plan(comps, scomps, specs)
-        if plan is None or len(comps) not in (1, 3):
-            # unknown scan component / unsupported component count:
-            # the serial decoder raises the exact error per image
+        try:
+            plan = _scan_plan(comps, scomps, specs)
+        except Exception:
+            # LUT build failed (e.g. overfull DHT, which parses fine):
+            # the serial decoder builds the same tables and raises the
+            # same error PER IMAGE — crucial for keep_errors and for
+            # first-failing-image order in mixed batches
+            plan = None
+        if plan is None:
+            # (also: unknown scan component — serial raises exactly)
             serial.extend(i for i, _p, _e in members)
             continue
         total = mcux * mcuy
@@ -556,6 +578,10 @@ def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
                 if gi in dead:
                     STATS["serial_retries"] += 1
                     serial.append(i)
+                    retry.add(i)
+                    continue
+                if dims_only:
+                    results[i] = (w, h, 1 if len(comps) == 1 else 3, None)
                     continue
                 slices = [
                     coeff2d[base[ci] + gi * r : base[ci] + (gi + 1) * r]
@@ -564,6 +590,11 @@ def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
                 results[i] = _reconstruct(
                     w, h, comps, parsed[3], slices, hmax, vmax, mcux, mcuy
                 )
+            continue
+        if dims_only:
+            nch = 1 if len(comps) == 1 else 3
+            for i, _p, _e in members:
+                results[i] = (w, h, nch, None)
             continue
         # batched reconstruct, chunked so the float64 plane working
         # set stays cache-resident (~64k output px per chunk — the
@@ -581,11 +612,11 @@ def decode_jpeg_batch(payloads, keep_errors: bool = False) -> list:
                 results[i] = rec
 
     for i in sorted(serial):
-        if keep_errors:
-            try:
-                results[i] = decode_jpeg(payloads[i])
-            except Exception as ex:
-                results[i] = ex
-        else:
-            results[i] = decode_jpeg(payloads[i])
+        try:
+            r = decode_jpeg(payloads[i], lockstep=i not in retry)
+            results[i] = (r[0], r[1], r[2], None) if dims_only else r
+        except Exception as ex:
+            if not keep_errors:
+                raise
+            results[i] = ex
     return results

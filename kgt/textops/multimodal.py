@@ -370,9 +370,13 @@ def _batch_jpeg_map(payloads, fake: bool = False) -> dict:
     """Pre-decode every JPEG in an Arrow batch through the lockstep
     batch kernel (kgt/textops/jpeg_simd.py — same-geometry images
     decode as parallel numpy lanes instead of per-symbol Python).
-    Returns {row index: decode tuple | exception}; the per-row loops
-    below re-raise a stored exception AT ITS ROW, so a mixed-format
-    batch keeps the exact error order of a plain per-row decode."""
+    Returns {row index: (w, h, ch, None) | exception}; the per-row
+    loops below re-raise a stored exception AT ITS ROW, so a
+    mixed-format batch keeps the exact error order of a plain per-row
+    decode. dims_only: the full entropy decode runs (so corrupt
+    payloads still fail) but no decoded frame outlives its image —
+    these callers read only (w, h), and holding a whole Arrow batch
+    of decoded megapixel frames at once would OOM an executor."""
     if fake:
         return {}
     idx = [i for i, p in enumerate(payloads) if p[:2] == b"\xff\xd8"]
@@ -380,7 +384,9 @@ def _batch_jpeg_map(payloads, fake: bool = False) -> dict:
         return {}
     from kgt.textops.jpeg_simd import decode_jpeg_batch
 
-    recs = decode_jpeg_batch([payloads[i] for i in idx], keep_errors=True)
+    recs = decode_jpeg_batch(
+        [payloads[i] for i in idx], keep_errors=True, dims_only=True
+    )
     return dict(zip(idx, recs))
 
 

@@ -231,3 +231,114 @@ def test_mixed_format_arrow_batch_keeps_row_error_order():
         _media_meta_one(9, payloads[2], jmap[2])
     assert _batch_jpeg_map(payloads, fake=True) == {}
     assert _batch_jpeg_map([good_png]) == {}
+
+
+def _overfull_dht(pay: bytes) -> bytes:
+    """Mutate the first DHT's bits counts (same total) so the
+    canonical code space overflows: counts[0] += 2 fills the whole
+    space with 1-bit codes, so any further code is overfull. The
+    stream still PARSES (structure is legal); only LUT build fails."""
+    i = pay.find(b"\xff\xc4")
+    assert i >= 0
+    counts = bytearray(pay[i + 5 : i + 21])
+    j = next(k for k in range(2, 16) if counts[k] >= 2)
+    counts[0] += 2
+    counts[j] -= 2
+    return pay[: i + 5] + bytes(counts) + pay[i + 21 :]
+
+
+def test_overfull_dht_group_keeps_error_contract():
+    # LUT build raising inside group setup must not escape the batch:
+    # every slot gets the serial error (keep_errors), and a truncated
+    # image EARLIER in the batch still wins first-failure order
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+    good = J.encode_jpeg(16, 16, px, quality=85)
+    bad = _overfull_dht(good)
+    ref = _serial(bad)
+    assert ref[0] == "err" and "overfull" in ref[2]
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    out = S.decode_jpeg_batch([bad] * 20, keep_errors=True)
+    assert all(
+        isinstance(o, Exception)
+        and (type(o).__name__, str(o)) == ref[1:]
+        for o in out
+    )
+    trunc = good[: len(good) // 3]
+    tref = _serial(trunc)
+    assert tref[0] == "err"
+    with pytest.raises(Exception) as ei:
+        S.decode_jpeg_batch([trunc] + [bad] * 20)
+    assert (type(ei.value).__name__, str(ei.value)) == tref[1:]
+    # the single-image restart-segment path: same error as serial
+    seg = J.encode_jpeg(
+        64, 64, rng.integers(0, 256, 64 * 64 * 3, np.uint8).tobytes(),
+        quality=85, restart_interval=1,
+    )
+    bad_seg = _overfull_dht(seg)
+    sref = _serial(bad_seg)
+    assert sref[0] == "err" and "overfull" in sref[2]
+    try:
+        J.decode_jpeg(bad_seg)
+        raised = None
+    except Exception as ex:
+        raised = (type(ex).__name__, str(ex))
+    assert raised == sref[1:]
+
+
+def test_dims_only_matches_serial_dims_and_errors():
+    rng = np.random.default_rng(43)
+    pays = []
+    for i in range(25):
+        w, h = 8 + (i % 4) * 8, 8 + (i % 3) * 8
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        pays.append(
+            J.encode_jpeg(w, h, px, quality=85, subsample="420")
+        )
+    gray = J.encode_jpeg(
+        16, 16, bytes(rng.integers(0, 256, 256, np.uint8)),
+        n_channels=1, quality=85,
+    )
+    bad = pays[0][:50]
+    batch = pays + [gray, bad]
+    refs = [_serial(p) for p in batch]
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    out = S.decode_jpeg_batch(batch, keep_errors=True, dims_only=True)
+    for o, r in zip(out, refs):
+        if r[0] == "ok":
+            w, h, ch, _px = r[1]
+            assert o == (w, h, ch, None)
+        else:
+            assert isinstance(o, Exception)
+            assert (type(o).__name__, str(o)) == r[1:]
+
+
+def test_dead_image_retries_serially_without_relockstep():
+    # an anomalous image whose own restart segments exceed MIN_STREAMS
+    # must not run the lockstep kernel twice (group pass + retry)
+    rng = np.random.default_rng(47)
+    px = rng.integers(0, 256, size=96 * 96 * 3, dtype=np.uint8).tobytes()
+    good = J.encode_jpeg(
+        96, 96, px, quality=85, subsample="420", restart_interval=1
+    )  # 36 MCUs -> 36 segments
+    # flip a bit deep in the LAST entropy segment so parse succeeds
+    # but a lane dies; hunt for a flip position that yields an error
+    bad = None
+    for back in range(8, 160, 4):
+        cand = bytearray(good)
+        cand[len(cand) - back] ^= 0x10
+        r = _serial(bytes(cand))
+        if r[0] == "err":
+            bad = bytes(cand)
+            ref = r
+            break
+    assert bad is not None, "no error-producing flip found"
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 16
+    before = S.STATS["lockstep_streams"]
+    out = S.decode_jpeg_batch([bad], keep_errors=True)
+    assert (type(out[0]).__name__, str(out[0])) == ref[1:]
+    # exactly one kernel engagement (the group pass), not two
+    assert S.STATS["lockstep_streams"] == before + 36
