@@ -724,3 +724,68 @@ def test_tiff_deflate_roundtrip_and_errors():
     _cur, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert peak < 5_000_000  # nowhere near the 50 MB plaintext
+
+
+def test_decode_features_wide_jpeg_arrow_batch_takes_lockstep(spark):
+    """End-to-end Spark pinning of the lockstep batch wiring: one
+    Arrow batch carrying 600 same-geometry JPEGs (above
+    LOCKSTEP_MIN_STREAMS=256, so the group lockstep engages inside
+    the Python worker) plus interleaved PNGs, through
+    decode_features(fake=False) and media_metadata — dims must match
+    the per-payload serial decode exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from kgt.textops.jpeg import decode_jpeg, encode_jpeg
+    from kgt.textops.multimodal import (
+        decode_features,
+        encode_png,
+        media_metadata,
+    )
+
+    rng = np.random.default_rng(53)
+    payloads, kinds = [], []
+    jpegs = [
+        encode_jpeg(
+            24, 16,
+            rng.integers(0, 256, 24 * 16 * 3, np.uint8).tobytes(),
+            quality=85, subsample="420",
+        )
+        for _ in range(8)
+    ]
+    png = encode_png(5, 7, bytes(range(5 * 7 * 3)), color_type=2)
+    for i in range(660):
+        if i % 11 == 10:
+            payloads.append(png)
+            kinds.append("png")
+        else:
+            payloads.append(jpegs[i % 8])
+            kinds.append("jpeg")
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(660)),
+                "payload": payloads,
+                "media_type": ["image/real"] * 660,
+            }
+        )
+    ).coalesce(1)  # one partition -> one Arrow batch (default 10k rows)
+
+    out = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_features(media, fake=False).collect()
+    }
+    meta = {
+        r["doc_id"]: (r["width"], r["height"], r["media_type"])
+        for r in media_metadata(media.select("doc_id", "payload")).collect()
+    }
+    assert len(out) == 660 and len(meta) == 660
+    for i, (p, kind) in enumerate(zip(payloads, kinds)):
+        if kind == "jpeg":
+            w, h, _ch, _px = decode_jpeg(p, lockstep=False)
+            assert meta[i][2] == "image/jpeg"
+        else:
+            w, h = 5, 7
+            assert meta[i][2] == "image/png"
+        assert out[i] == (w, h), i
+        assert meta[i][:2] == (w, h), i
