@@ -46,6 +46,11 @@ _ZZ_NP = np.asarray(ZIGZAG, dtype=np.int64)
 # loses to the serial loop (measured crossover; see BENCH.md).
 LOCKSTEP_MIN_STREAMS = 256
 
+# Per-wave cap on the lockstep coefficient store (int32 bytes): a
+# group bigger than this decodes in successive waves so the kernel's
+# working set stays flat no matter the Arrow batch size.
+LOCKSTEP_COEFF_BUDGET = 128 << 20
+
 # Master switch (tests flip it to force serial for differentials).
 LOCKSTEP_ENABLED = True
 
@@ -550,66 +555,83 @@ def decode_jpeg_batch(
             continue
         total = mcux * mcuy
         rows_per = [mcuy * vi * mcux * hi for hi, vi, _d, _a in plan]
-        seg_bytes = []
-        img_idx = []
-        start = []
-        n_mcus = []
-        for gi, (_i, parsed, expected) in enumerate(members):
-            segments = parsed[4][0][5]
-            for s in range(expected):
-                seg_bytes.append(segments[s])
-                img_idx.append(gi)
-                s0 = s * ri if ri > 0 else 0
-                start.append(s0)
-                n_mcus.append(min(ri, total - s0) if ri > 0 else total)
-        img_idx = np.asarray(img_idx, np.int64)
-        start = np.asarray(start, np.int64)
-        n_mcus = np.asarray(n_mcus, np.int64)
-        st = _Streams(seg_bytes)
-        STATS["lockstep_streams"] += len(seg_bytes)
-        coeff2d, base, dead = _lockstep(
-            st, img_idx, start, n_mcus, plan, rows_per, len(members), mcux
-        )
-        if dead:
-            # anomalous group: retry dead images serially, reconstruct
-            # the survivors per image (rare; keeps the batched path
-            # contiguous-slice simple)
-            for gi, (i, parsed, _e) in enumerate(members):
-                if gi in dead:
-                    STATS["serial_retries"] += 1
-                    serial.append(i)
-                    retry.add(i)
-                    continue
-                if dims_only:
-                    results[i] = (w, h, 1 if len(comps) == 1 else 3, None)
-                    continue
-                slices = [
-                    coeff2d[base[ci] + gi * r : base[ci] + (gi + 1) * r]
-                    for ci, r in enumerate(rows_per)
-                ]
-                results[i] = _reconstruct(
-                    w, h, comps, parsed[3], slices, hmax, vmax, mcux, mcuy
-                )
-            continue
-        if dims_only:
-            nch = 1 if len(comps) == 1 else 3
-            for i, _p, _e in members:
-                results[i] = (w, h, nch, None)
-            continue
-        # batched reconstruct, chunked so the float64 plane working
-        # set stays cache-resident (~64k output px per chunk — the
-        # measured sweet spot; bigger chunks go bandwidth-bound, the
-        # per-image path pays numpy call overhead per thumbnail)
-        step = max(1, 64_000 // max(1, w * h))
-        for c0 in range(0, len(members), step):
-            chunk = members[c0 : c0 + step]
-            cbase = [base[ci] + c0 * r for ci, r in enumerate(rows_per)]
-            recs = _reconstruct_group(
-                w, h, comps, [m[1][3] for m in chunk], coeff2d, cbase,
-                rows_per, hmax, vmax, mcux, mcuy,
+        # decode the group in WAVES bounded by coefficient-store
+        # memory: coeff2d holds every wave image's int32 coefficients
+        # at once (~6× the pixel bytes at 4:2:0), so an unbounded
+        # group of megapixel images would OOM the executor regardless
+        # of dims_only. Waves keep the kernel's working set flat;
+        # a tail wave too narrow to amortize numpy goes serial.
+        per_img_bytes = sum(rows_per) * 64 * 4
+        wave = max(1, LOCKSTEP_COEFF_BUDGET // max(1, per_img_bytes))
+        for m0 in range(0, len(members), wave):
+            sub = members[m0 : m0 + wave]
+            if per_img * len(sub) < LOCKSTEP_MIN_STREAMS:
+                serial.extend(i for i, _p, _e in sub)
+                continue
+            seg_bytes = []
+            img_idx = []
+            start = []
+            n_mcus = []
+            for gi, (_i, parsed, expected) in enumerate(sub):
+                segments = parsed[4][0][5]
+                for s in range(expected):
+                    seg_bytes.append(segments[s])
+                    img_idx.append(gi)
+                    s0 = s * ri if ri > 0 else 0
+                    start.append(s0)
+                    n_mcus.append(min(ri, total - s0) if ri > 0 else total)
+            img_idx = np.asarray(img_idx, np.int64)
+            start = np.asarray(start, np.int64)
+            n_mcus = np.asarray(n_mcus, np.int64)
+            st = _Streams(seg_bytes)
+            STATS["lockstep_streams"] += len(seg_bytes)
+            coeff2d, base, dead = _lockstep(
+                st, img_idx, start, n_mcus, plan, rows_per, len(sub), mcux
             )
-            for (i, _p, _e), rec in zip(chunk, recs):
-                results[i] = rec
+            if dead:
+                # anomalous wave: retry dead images serially,
+                # reconstruct the survivors per image (rare; keeps the
+                # batched path contiguous-slice simple)
+                for gi, (i, parsed, _e) in enumerate(sub):
+                    if gi in dead:
+                        STATS["serial_retries"] += 1
+                        serial.append(i)
+                        retry.add(i)
+                        continue
+                    if dims_only:
+                        results[i] = (
+                            w, h, 1 if len(comps) == 1 else 3, None
+                        )
+                        continue
+                    slices = [
+                        coeff2d[base[ci] + gi * r : base[ci] + (gi + 1) * r]
+                        for ci, r in enumerate(rows_per)
+                    ]
+                    results[i] = _reconstruct(
+                        w, h, comps, parsed[3], slices, hmax, vmax,
+                        mcux, mcuy,
+                    )
+                continue
+            if dims_only:
+                nch = 1 if len(comps) == 1 else 3
+                for i, _p, _e in sub:
+                    results[i] = (w, h, nch, None)
+                continue
+            # batched reconstruct, chunked so the float64 plane working
+            # set stays cache-resident (~64k output px per chunk — the
+            # measured sweet spot; bigger chunks go bandwidth-bound,
+            # the per-image path pays numpy call overhead per
+            # thumbnail)
+            step = max(1, 64_000 // max(1, w * h))
+            for c0 in range(0, len(sub), step):
+                chunk = sub[c0 : c0 + step]
+                cbase = [base[ci] + c0 * r for ci, r in enumerate(rows_per)]
+                recs = _reconstruct_group(
+                    w, h, comps, [m[1][3] for m in chunk], coeff2d, cbase,
+                    rows_per, hmax, vmax, mcux, mcuy,
+                )
+                for (i, _p, _e), rec in zip(chunk, recs):
+                    results[i] = rec
 
     for i in sorted(serial):
         try:

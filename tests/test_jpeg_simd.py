@@ -20,9 +20,13 @@ import kgt.textops.jpeg_simd as S
 
 @pytest.fixture(autouse=True)
 def _restore_knobs():
-    en, ms = S.LOCKSTEP_ENABLED, S.LOCKSTEP_MIN_STREAMS
+    en, ms, cb = (
+        S.LOCKSTEP_ENABLED, S.LOCKSTEP_MIN_STREAMS, S.LOCKSTEP_COEFF_BUDGET
+    )
     yield
-    S.LOCKSTEP_ENABLED, S.LOCKSTEP_MIN_STREAMS = en, ms
+    S.LOCKSTEP_ENABLED, S.LOCKSTEP_MIN_STREAMS, S.LOCKSTEP_COEFF_BUDGET = (
+        en, ms, cb
+    )
 
 
 def _serial(pay):
@@ -342,3 +346,59 @@ def test_dead_image_retries_serially_without_relockstep():
     assert (type(out[0]).__name__, str(out[0])) == ref[1:]
     # exactly one kernel engagement (the group pass), not two
     assert S.STATS["lockstep_streams"] == before + 36
+
+
+def test_coeff_budget_waves_match_serial_and_bound_memory():
+    """Groups decode in coefficient-memory-bounded waves: results are
+    identical to serial across wave boundaries (incl. a tail wave too
+    narrow for lockstep), and the kernel's peak working set tracks
+    the wave budget, not the batch size."""
+    import tracemalloc
+
+    rng = np.random.default_rng(59)
+    base = []
+    for i in range(5):
+        px = rng.integers(0, 256, size=32 * 32 * 3, dtype=np.uint8).tobytes()
+        base.append(J.encode_jpeg(32, 32, px, quality=85, subsample="420"))
+    refs = [_serial(p)[1] for p in base]
+    pays = (base * 20)[:97]  # odd count -> ragged tail wave
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 8
+    # 32x32 @420: rows_per sums to 24 rows -> 6144 B/image; budget of
+    # 8 images/wave => 13 waves, tail wave of 1 image < MIN -> serial
+    S.LOCKSTEP_COEFF_BUDGET = 8 * 24 * 64 * 4
+    before = S.STATS["lockstep_streams"]
+    out = S.decode_jpeg_batch(pays)
+    assert out == [refs[i % 5] for i in range(97)]
+    assert S.STATS["lockstep_streams"] == before + 96  # 12 waves of 8
+
+    # memory bound: dims_only over a wide batch must not retain
+    # per-image pixel or coefficient buffers across waves — peak
+    # must be FLAT in batch size (the measured ~6 MB constant is the
+    # per-wave unified LUT stack, 8 x 512 KB, plus the wave's coeff
+    # store). 360 solid 96x96 images would hold ~20 MB of
+    # coefficients + ~10 MB of pixels if retained at once.
+    def peak_for(n):
+        big = [
+            J.encode_jpeg(
+                96, 96, bytes((40 + i % 4, 90, 200 - i % 4)) * (96 * 96),
+                quality=85, subsample="420",
+            )
+            for i in range(4)
+        ] * (n // 4)
+        tracemalloc.start()
+        dims = S.decode_jpeg_batch(big, dims_only=True)
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert dims == [(96, 96, 3, None)] * n
+        return peak
+
+    S.LOCKSTEP_MIN_STREAMS = 4
+    S.LOCKSTEP_COEFF_BUDGET = 6 * (216 * 64 * 4)  # 6 images per wave
+    peak_for(24)  # warm LUT caches outside the measured pair
+    p_small, p_big = peak_for(24), peak_for(360)
+    # +336 images may add parse METADATA (~6.5 KB/image of qtable/
+    # spec dicts held by grouping) but must not add retained FRAMES
+    # (~80 KB/image of coefficients+pixels would be ~27 MB here)
+    assert p_big < 12 << 20, f"peak {p_big} bytes"
+    assert p_big < p_small + (4 << 20), (p_small, p_big)
