@@ -402,3 +402,38 @@ def test_coeff_budget_waves_match_serial_and_bound_memory():
     # (~80 KB/image of coefficients+pixels would be ~27 MB here)
     assert p_big < 12 << 20, f"peak {p_big} bytes"
     assert p_big < p_small + (4 << 20), (p_small, p_big)
+
+
+def test_wave_boundary_differential_fuzz():
+    # the mode-matrix shapes, re-decoded with a budget small enough
+    # that every batch splits into multiple waves — wave boundaries
+    # must be invisible in both bytes and error behavior
+    rng = np.random.default_rng(61)
+    S.LOCKSTEP_ENABLED = True
+    S.LOCKSTEP_MIN_STREAMS = 4
+    for w, h, q, sub, ri in [
+        (17, 13, 85, "420", 0),
+        (33, 31, 97, "444", 2),
+        (8, 8, 30, "422", 1),
+        (7, 3, 85, "420", 0),
+    ]:
+        pays = []
+        for _ in range(11):
+            px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+            pays.append(
+                J.encode_jpeg(
+                    w, h, px.tobytes(), quality=q, subsample=sub,
+                    restart_interval=ri,
+                )
+            )
+        pays.append(pays[0][: len(pays[0]) - 3])  # truncated tail image
+        refs = [_serial(p) for p in pays]
+        # budget of ~4 images per wave, whatever the geometry
+        S.LOCKSTEP_COEFF_BUDGET = 4 * (w * h * 8 + 64 * 64 * 4)
+        out = S.decode_jpeg_batch(pays, keep_errors=True)
+        for o, r in zip(out, refs):
+            if r[0] == "ok":
+                assert o == r[1]
+            else:
+                assert isinstance(o, Exception)
+                assert (type(o).__name__, str(o)) == r[1:]
