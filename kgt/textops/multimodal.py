@@ -258,21 +258,13 @@ def _unfilter_paeth(line, prev, ch, stride):
     return out
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """From-scratch stdlib PNG decoder → (width, height, channels,
-    pixel bytes row-major). Validates the signature and every chunk's
-    CRC32, inflates the concatenated IDAT stream, and reverses all five
-    scanline filters (None/Sub/Up/Average/Paeth).
-
-    Supported: 8-bit depth, color types 0/2/4/6, non-interlaced — the
-    overwhelmingly common PNG shape; anything else raises
-    NotImplementedError naming the limit. The unfilter is numpy
-    per-scanline: None/Up are whole-row ops, Sub is a per-channel
-    cumulative sum (addition mod 256 is associative, so cumsum & 0xFF
-    equals the sequential recurrence); Average/Paeth carry a true
-    sequential left-dependency, handled by a tight scalar recurrence
-    with the row-precomputable |b-c| shortcut (see _unfilter_paeth).
-    """
+def _parse_png(payload: bytes):
+    """Parse + validate a PNG up to (but not including) the unfilter:
+    signature, per-chunk CRC32, IHDR limits, IDAT inflate, pixel
+    stream length. Returns (w, h, ch, raw) with raw = the inflated
+    filter-byte+scanline stream — shared by :func:`decode_png` and
+    the batch path in png_simd.py so both see identical errors for
+    malformed containers."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat = 8, []
@@ -318,6 +310,28 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"truncated PNG chunk stream (IDAT): {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel stream length mismatch")
+    return w, h, ch, raw
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """From-scratch stdlib PNG decoder → (width, height, channels,
+    pixel bytes row-major). Validates the signature and every chunk's
+    CRC32, inflates the concatenated IDAT stream, and reverses all five
+    scanline filters (None/Sub/Up/Average/Paeth).
+
+    Supported: 8-bit depth, color types 0/2/4/6, non-interlaced — the
+    overwhelmingly common PNG shape; anything else raises
+    NotImplementedError naming the limit. The unfilter is numpy
+    per-scanline: None/Up are whole-row ops, Sub is a per-channel
+    cumulative sum (addition mod 256 is associative, so cumsum & 0xFF
+    equals the sequential recurrence); Average/Paeth carry a true
+    sequential left-dependency, handled by a tight scalar recurrence
+    with the row-precomputable |b-c| shortcut (see _unfilter_paeth).
+    Same-geometry Arrow batches unfilter in lockstep instead — see
+    kgt/textops/png_simd.py.
+    """
+    w, h, ch, raw = _parse_png(payload)
+    stride = w * ch
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes, lines = arr[:, 0], arr[:, 1:]
     out = np.empty((h, stride), dtype=np.uint8)
@@ -390,20 +404,56 @@ def _batch_jpeg_map(payloads, fake: bool = False) -> dict:
     return dict(zip(idx, recs))
 
 
-def _decode_one(payload: bytes, fake: bool, jpeg_rec=None):
+def _batch_png_map(payloads, fake: bool = False) -> dict:
+    """PNG twin of :func:`_batch_jpeg_map` (kgt/textops/png_simd.py):
+    dims_only validates the full container (parse + CRC + inflate +
+    filter bytes — a PNG decode's entire failure surface) without
+    running the Average/Paeth scalar unfilter loops, which dominate
+    decode cost on photographic content. Same contract: {row index:
+    (w, h, ch, None) | exception}, exceptions re-raised at the row."""
+    if fake:
+        return {}
+    idx = [i for i, p in enumerate(payloads) if p[:8] == _PNG_SIG]
+    if not idx:
+        return {}
+    from kgt.textops.png_simd import decode_png_batch
+
+    recs = decode_png_batch(
+        [payloads[i] for i in idx], keep_errors=True, dims_only=True
+    )
+    return dict(zip(idx, recs))
+
+
+def _batch_media_map(payloads, fake: bool = False) -> dict:
+    """Union of the per-format batch pre-decode maps (disjoint row
+    keys — each payload has one signature)."""
+    if fake:
+        return {}
+    return {
+        **_batch_jpeg_map(payloads),
+        **_batch_png_map(payloads),
+    }
+
+
+def _decode_one(payload: bytes, fake: bool, rec=None):
+    """rec: a pre-decoded (w, h, ch, ...) tuple or stored exception
+    from :func:`_batch_media_map` for this row (None = decode here)."""
     if not fake:
+        if isinstance(rec, Exception):
+            raise rec
         if payload[:8] == _PNG_SIG:
-            w, h, _ch, _px = decode_png(payload)
+            if rec is not None:
+                w, h = rec[0], rec[1]
+            else:
+                w, h, _ch, _px = decode_png(payload)
             return len(payload), hashlib.md5(payload).hexdigest(), w, h
         if payload[:2] == b"\xff\xd8":
-            if isinstance(jpeg_rec, Exception):
-                raise jpeg_rec
-            if jpeg_rec is not None:
-                w, h, _ch, _px = jpeg_rec
-                return len(payload), hashlib.md5(payload).hexdigest(), w, h
-            from kgt.textops.jpeg import decode_jpeg
+            if rec is not None:
+                w, h = rec[0], rec[1]
+            else:
+                from kgt.textops.jpeg import decode_jpeg
 
-            w, h, _ch, _px = decode_jpeg(payload)
+                w, h, _ch, _px = decode_jpeg(payload)
             return len(payload), hashlib.md5(payload).hexdigest(), w, h
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             from kgt.textops.gif import decode_gif
@@ -437,9 +487,9 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def run(batches):
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            jmap = _batch_jpeg_map(payloads, fake)
+            bmap = _batch_media_map(payloads, fake)
             rows = [
-                _decode_one(p, fake, jmap.get(i))
+                _decode_one(p, fake, bmap.get(i))
                 for i, p in enumerate(payloads)
             ]
             out = pd.DataFrame(
@@ -566,9 +616,9 @@ def resize(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFram
         for pdf in batches:
             recs = []
             payloads = [bytes(p) for p in pdf["payload"]]
-            jmap = _batch_jpeg_map(payloads, fake)
+            bmap = _batch_media_map(payloads, fake)
             for i, p in enumerate(payloads):
-                _, _, w, h = _decode_one(p, fake, jmap.get(i))
+                _, _, w, h = _decode_one(p, fake, bmap.get(i))
                 longest = max(w, h)
                 if longest <= max_side:
                     rw, rh = w, h
@@ -755,21 +805,24 @@ MEDIA_META_SCHEMA = (
 )
 
 
-def _media_meta_one(doc_id: int, p: bytes, jpeg_rec=None) -> tuple:
+def _media_meta_one(doc_id: int, p: bytes, rec=None) -> tuple:
     """Signature-sniffed metadata for one payload across every format
     this engine decodes. Rounding convention: floor(x + 0.5) (half-up)
     for ms durations — the oracle-reproducible choice."""
     import math
 
     nb = len(p)
+    if isinstance(rec, Exception):
+        raise rec
     if p[:8] == _PNG_SIG:
-        w, h, _ch, _px = decode_png(p)
+        if rec is not None:
+            w, h = rec[0], rec[1]
+        else:
+            w, h, _ch, _px = decode_png(p)
         return (doc_id, "image/png", nb, w, h, 1, None, None, None)
     if p[:2] == b"\xff\xd8":
-        if isinstance(jpeg_rec, Exception):
-            raise jpeg_rec
-        if jpeg_rec is not None:
-            w, h, _ch, _px = jpeg_rec
+        if rec is not None:
+            w, h = rec[0], rec[1]
         else:
             from kgt.textops.jpeg import decode_jpeg
 
@@ -870,9 +923,9 @@ def media_metadata(media: DataFrame) -> DataFrame:
     def run(batches):
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            jmap = _batch_jpeg_map(payloads)
+            bmap = _batch_media_map(payloads)
             rows = [
-                _media_meta_one(int(d), p, jmap.get(i))
+                _media_meta_one(int(d), p, bmap.get(i))
                 for i, (d, p) in enumerate(zip(pdf["doc_id"], payloads))
             ]
             yield pd.DataFrame(
