@@ -359,42 +359,9 @@ def main():
     # ~1-2 Mpx/s); 256 same-geometry 64×64 Paeth-heavy PNGs through
     # png_simd's per-row lane kernel, plus the dims_only path the
     # metadata callers take (full container validation, no unfilter).
-    import struct as _struct
-    import zlib as _zlib
-
     import kgt.textops.png_simd as _psimd
-    from kgt.textops.multimodal import _PNG_SIG as _SIG
     from kgt.textops.multimodal import decode_png as _dpng
-
-    def _paeth_png(img):
-        hh, ww, cc = img.shape
-        pix = img.astype(_np.int16)
-        raw = bytearray()
-        prevr = _np.zeros((ww, cc), _np.int16)
-        for _r in range(hh):
-            ln = pix[_r]
-            a = _np.zeros((ww, cc), _np.int16); a[1:] = ln[:-1]
-            c = _np.zeros((ww, cc), _np.int16); c[1:] = prevr[:-1]
-            b = prevr
-            p = a + b - c
-            pa, pb, pc = _np.abs(p - a), _np.abs(p - b), _np.abs(p - c)
-            pred = _np.where(
-                (pa <= pb) & (pa <= pc), a, _np.where(pb <= pc, b, c)
-            )
-            raw.append(4)
-            raw += ((ln - pred) & 0xFF).astype(_np.uint8).tobytes()
-            prevr = ln
-        def _ck(tag, data):
-            return (
-                _struct.pack(">I", len(data)) + tag + data
-                + _struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
-            )
-        ihdr = _struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, 0)
-        return (
-            _SIG + _ck(b"IHDR", ihdr)
-            + _ck(b"IDAT", _zlib.compress(bytes(raw), 6))
-            + _ck(b"IEND", b"")
-        )
+    from kgt.textops.multimodal import encode_png as _epng
 
     _pngs = []
     for _i in range(8):
@@ -407,17 +374,15 @@ def main():
             ],
             axis=-1,
         ).astype(_np.uint8)
-        _pngs.append(_paeth_png(_pim))
+        _pngs.append(_epng(64, 64, _pim.tobytes(), filters=[4]))
     _pbatch = _pngs * 32  # 256 lanes
     _pmpx = 64 * 64 * len(_pbatch) / 1e6
-    _psimd.LOCKSTEP_ENABLED = False
     _pser = None
     for _ in range(2):
         _t0 = time.perf_counter()
         _sref = [_dpng(p) for p in _pbatch]
         _dt = time.perf_counter() - _t0
         _pser = _dt if _pser is None else min(_pser, _dt)
-    _psimd.LOCKSTEP_ENABLED = True
     _pbest = _pdims = None
     for _ in range(2):
         _t0 = time.perf_counter()

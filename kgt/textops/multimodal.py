@@ -60,12 +60,21 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def encode_png(
-    width: int, height: int, pixels: bytes, color_type: int = 2
+    width: int, height: int, pixels: bytes, color_type: int = 2,
+    filters=None,
 ) -> bytes:
-    """Minimal from-scratch PNG encoder (8-bit, non-interlaced,
-    filter-type None on every scanline): IHDR + one zlib IDAT + IEND,
-    CRC32 per chunk. Companion to :func:`decode_png`; the tests build
-    their synthetic fixtures with it and the round trip pins both."""
+    """Minimal from-scratch PNG encoder (8-bit, non-interlaced):
+    IHDR + one zlib IDAT + IEND, CRC32 per chunk. Companion to
+    :func:`decode_png`; the tests build their synthetic fixtures with
+    it and the round trip pins both.
+
+    By default every scanline uses filter-type None (the form the
+    oracle closed-forms assume). `filters` takes an explicit per-row
+    schedule (cycled over rows, each in 0..4) forward-filtered with
+    the spec arithmetic — the fixture generator for the unfilter
+    differential fuzz (tests/test_png_simd.py) and the bench's
+    Paeth-heavy corpus, so decoder and benchmark fixtures can't
+    drift apart."""
     ch = _PNG_CHANNELS[color_type]
     if len(pixels) != width * height * ch:
         raise ValueError(
@@ -73,10 +82,45 @@ def encode_png(
             f"{width}x{height}x{ch}"
         )
     stride = width * ch
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride]
-        for y in range(height)
-    )
+    if filters is None:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride]
+            for y in range(height)
+        )
+    else:
+        pix = np.frombuffer(pixels, np.uint8).reshape(
+            height, width, ch
+        ).astype(np.int16)
+        parts = []
+        prev = np.zeros((width, ch), np.int16)
+        for y in range(height):
+            line = pix[y]
+            f = int(filters[y % len(filters)])
+            a = np.zeros((width, ch), np.int16)
+            a[1:] = line[:-1]
+            c = np.zeros((width, ch), np.int16)
+            c[1:] = prev[:-1]
+            b = prev
+            if f == 0:
+                pred = np.zeros((width, ch), np.int16)
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            parts.append(bytes([f]))
+            parts.append(((line - pred) & 0xFF).astype(np.uint8).tobytes())
+            prev = line
+        raw = b"".join(parts)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -331,6 +375,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     kgt/textops/png_simd.py.
     """
     w, h, ch, raw = _parse_png(payload)
+    return w, h, ch, _unfilter_image(raw, w, h, ch)
+
+
+def _unfilter_image(raw: bytes, w: int, h: int, ch: int) -> bytes:
+    """Serial unfilter of one image's validated filter+scanline
+    stream (decode_png's second half; png_simd's small-group fallback
+    calls it directly so the container isn't parsed twice)."""
     stride = w * ch
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes, lines = arr[:, 0], arr[:, 1:]
@@ -361,7 +412,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = row
         prev = row
-    return w, h, ch, out.tobytes()
+    return out.tobytes()
 
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, checksum string, "

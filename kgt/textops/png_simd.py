@@ -41,6 +41,9 @@ UNFILTER_MIN_LANES = 32
 LOCKSTEP_ENABLED = True
 
 # Introspection for tests/bench: never read on the hot path.
+# serial_routed counts EVERY image the batch handed to a serial-path
+# decode while lockstep was enabled (parse failure, bad filter byte,
+# degenerate geometry, under-min-lanes group).
 STATS = {"lockstep_lanes": 0, "serial_routed": 0}
 
 
@@ -136,7 +139,7 @@ def decode_png_batch(
     amplification — the lockstep working set IS the pixel output
     (plus one int16 row slab per step), so no wave chunking is
     needed; dims_only holds no frames at all."""
-    from .multimodal import _parse_png, decode_png
+    from .multimodal import _parse_png, _unfilter_image, decode_png
 
     payloads = [bytes(p) for p in payloads]
     results: list = [None] * len(payloads)
@@ -148,6 +151,7 @@ def decode_png_batch(
                 w, h, ch, raw = _parse_png(p)
             except Exception:
                 serial.append(i)  # decode_png re-raises identically
+                STATS["serial_routed"] += 1
                 continue
             fb = np.frombuffer(raw, np.uint8).reshape(h, w * ch + 1)[:, 0]
             if (fb > 4).any():
@@ -159,13 +163,26 @@ def decode_png_batch(
             if dims_only:
                 results[i] = (w, h, ch, None)
                 continue
+            if w == 0:
+                # degenerate geometry the kernel's Sub reshape can't
+                # hold (rows are a lone filter byte) — the serial
+                # unfilter returns the same empty pixel string
+                results[i] = (w, h, ch, _unfilter_image(raw, w, h, ch))
+                STATS["serial_routed"] += 1
+                continue
             groups.setdefault((w, h, ch), []).append((i, raw))
     else:
         serial = list(range(len(payloads)))
 
     for (w, h, ch), members in groups.items():
         if len(members) < UNFILTER_MIN_LANES:
-            serial.extend(i for i, _r in members)
+            # container already parsed + filter bytes screened: the
+            # serial unfilter on the held stream can't raise, and
+            # re-parsing (CRC walk + inflate) would double the
+            # container cost a plain per-image loop pays once
+            for i, raw in members:
+                results[i] = (w, h, ch, _unfilter_image(raw, w, h, ch))
+            STATS["serial_routed"] += len(members)
             continue
         STATS["lockstep_lanes"] += len(members)
         pix = _unfilter_lockstep([r for _i, r in members], w, h, ch)

@@ -39,44 +39,13 @@ _CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}
 
 
 def make_png(img: np.ndarray, filters) -> bytes:
-    """PNG with an explicit per-row filter schedule: forward-filters
-    the pixels with the spec arithmetic so the decoder's unfilter is
-    the exact inverse. img is (h, w, ch) uint8."""
+    """PNG with an explicit per-row filter schedule (delegates to the
+    engine encoder's `filters` parameter — one forward-filter
+    implementation serves the fuzz AND the bench corpus, so fixtures
+    can't drift from the decoder semantics). img is (h, w, ch)."""
     h, w, ch = img.shape
-    pix = img.astype(np.int16)
-    raw = bytearray()
-    prev = np.zeros((w, ch), np.int16)
-    for r in range(h):
-        line = pix[r]
-        f = filters[r % len(filters)]
-        a = np.zeros((w, ch), np.int16)
-        a[1:] = line[:-1]
-        c = np.zeros((w, ch), np.int16)
-        c[1:] = prev[:-1]
-        b = prev
-        if f == 0:
-            pred = 0
-        elif f == 1:
-            pred = a
-        elif f == 2:
-            pred = b
-        elif f == 3:
-            pred = (a + b) >> 1
-        else:
-            p = a + b - c
-            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-            )
-        raw.append(f)
-        raw += ((line - pred) & 0xFF).astype(np.uint8).tobytes()
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CTYPE[ch], 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _chunk(b"IEND", b"")
+    return encode_png(
+        w, h, img.tobytes(), color_type=_CTYPE[ch], filters=filters
     )
 
 
@@ -198,3 +167,51 @@ def test_wiring_media_map_covers_both_formats():
     with pytest.raises(type(m[3])):
         _media_meta_one(4, bad_png, m[3])
     assert _batch_media_map(payloads, fake=True) == {}
+
+
+def test_degenerate_geometry_matches_serial():
+    # w=0 (each row is a lone filter byte; the kernel's Sub reshape
+    # can't hold it) routes serial; h=0 runs the zero-row kernel —
+    # both must match decode_png exactly
+    P.LOCKSTEP_ENABLED = True
+    P.UNFILTER_MIN_LANES = 1
+    ihdr_w0 = struct.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0)
+    pay_w0 = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr_w0)
+        + _chunk(b"IDAT", zlib.compress(bytes([1, 1])))
+        + _chunk(b"IEND", b"")
+    )
+    ihdr_h0 = struct.pack(">IIBBBBB", 3, 0, 8, 2, 0, 0, 0)
+    pay_h0 = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr_h0)
+        + _chunk(b"IDAT", zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    for pay in (pay_w0, pay_h0):
+        ref = _serial(pay)
+        assert ref[0] == "ok" and ref[1][3] == b""
+        assert P.decode_png_batch([pay] * 40) == [ref[1]] * 40
+        assert P.decode_png_batch([pay], dims_only=True) == [
+            ref[1][:3] + (None,)
+        ]
+
+
+def test_stats_count_every_serial_route():
+    rng = np.random.default_rng(83)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    good = make_png(img, [4])
+    P.LOCKSTEP_ENABLED = True
+    P.UNFILTER_MIN_LANES = 8
+    before_s, before_l = P.STATS["serial_routed"], P.STATS["lockstep_lanes"]
+    # 3 same-geometry (under min -> serial), 1 parse-fail, and the
+    # under-min group must still decode without re-parsing (values ==
+    # serial decode)
+    out = P.decode_png_batch(
+        [good, good, good, good[:-4]], keep_errors=True
+    )
+    assert out[:3] == [_serial(good)[1]] * 3
+    assert isinstance(out[3], Exception)
+    assert P.STATS["serial_routed"] == before_s + 4
+    assert P.STATS["lockstep_lanes"] == before_l
