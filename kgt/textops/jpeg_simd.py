@@ -635,8 +635,9 @@ def decode_jpeg_batch(
 
     for i in sorted(serial):
         try:
-            r = decode_jpeg(payloads[i], lockstep=i not in retry)
-            results[i] = (r[0], r[1], r[2], None) if dims_only else r
+            results[i] = decode_jpeg(
+                payloads[i], lockstep=i not in retry, dims_only=dims_only
+            )
         except Exception as ex:
             if not keep_errors:
                 raise
