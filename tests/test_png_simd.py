@@ -215,3 +215,25 @@ def test_stats_count_every_serial_route():
     assert isinstance(out[3], Exception)
     assert P.STATS["serial_routed"] == before_s + 4
     assert P.STATS["lockstep_lanes"] == before_l
+
+
+def test_randomized_schedule_differential():
+    # 120 images, random geometry from a small pool (so groups form),
+    # fully random per-row filter schedules — lockstep == serial
+    rng = np.random.default_rng(89)
+    P.LOCKSTEP_ENABLED = True
+    P.UNFILTER_MIN_LANES = 8
+    geoms = [(9, 7, 3), (9, 7, 1), (16, 16, 4), (5, 23, 2)]
+    pays, refs = [], []
+    for _ in range(120):
+        h, w, ch = geoms[rng.integers(0, len(geoms))]
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        sched = rng.integers(0, 5, size=h).tolist()
+        pay = make_png(img, sched)
+        pays.append(pay)
+        refs.append((w, h, ch, img.tobytes()))
+        assert _serial(pay)[1] == refs[-1]
+    assert P.decode_png_batch(pays) == refs
+    assert P.decode_png_batch(pays, dims_only=True) == [
+        r[:3] + (None,) for r in refs
+    ]
