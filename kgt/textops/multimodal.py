@@ -88,6 +88,8 @@ def encode_png(
             for y in range(height)
         )
     else:
+        if len(filters) == 0:
+            raise ValueError("filters schedule must be non-empty")
         pix = np.frombuffer(pixels, np.uint8).reshape(
             height, width, ch
         ).astype(np.int16)

@@ -37,13 +37,19 @@ import numpy as np
 # loses to the serial scalar loop (measured crossover; see BENCH.md).
 UNFILTER_MIN_LANES = 32
 
+# Per-wave cap on the raw filter+scanline bytes the kernel holds at
+# once (the joined lane buffer): a group bigger than this unfilters in
+# successive waves so the full-pixel path's working set stays flat no
+# matter the Arrow batch size (mirrors jpeg_simd's LOCKSTEP_COEFF_BUDGET).
+UNFILTER_RAW_BUDGET = 128 << 20
+
 # Master switch (tests flip it to force serial for differentials).
 LOCKSTEP_ENABLED = True
 
 # Introspection for tests/bench: never read on the hot path.
 # serial_routed counts EVERY image the batch handed to a serial-path
 # decode while lockstep was enabled (parse failure, bad filter byte,
-# degenerate geometry, under-min-lanes group).
+# degenerate geometry, under-min-lanes group or tail wave).
 STATS = {"lockstep_lanes": 0, "serial_routed": 0}
 
 
@@ -135,10 +141,14 @@ def decode_png_batch(
     only failure surface of a PNG decode) without materializing any
     pixels.
 
-    Memory: unlike the JPEG kernel there is no coefficient
-    amplification — the lockstep working set IS the pixel output
-    (plus one int16 row slab per step), so no wave chunking is
-    needed; dims_only holds no frames at all."""
+    Memory: the JPEG kernel's ~6× coefficient amplification doesn't
+    apply, but the full-pixel path still holds each wave's joined lane
+    buffer + output array + result strings (~3× the wave's pixels) on
+    top of the group's parsed raw streams, so groups are unfiltered in
+    UNFILTER_RAW_BUDGET-bounded waves (consumed raws are released as
+    waves complete); a tail wave too narrow to amortize numpy takes
+    the serial unfilter on the held stream. dims_only holds no frames
+    at all."""
     from .multimodal import _parse_png, _unfilter_image, decode_png
 
     payloads = [bytes(p) for p in payloads]
@@ -175,19 +185,24 @@ def decode_png_batch(
         serial = list(range(len(payloads)))
 
     for (w, h, ch), members in groups.items():
-        if len(members) < UNFILTER_MIN_LANES:
-            # container already parsed + filter bytes screened: the
-            # serial unfilter on the held stream can't raise, and
-            # re-parsing (CRC walk + inflate) would double the
-            # container cost a plain per-image loop pays once
-            for i, raw in members:
-                results[i] = (w, h, ch, _unfilter_image(raw, w, h, ch))
-            STATS["serial_routed"] += len(members)
-            continue
-        STATS["lockstep_lanes"] += len(members)
-        pix = _unfilter_lockstep([r for _i, r in members], w, h, ch)
-        for (i, _r), px in zip(members, pix):
-            results[i] = (w, h, ch, px)
+        per_img = h * (w * ch + 1)
+        wave = max(1, UNFILTER_RAW_BUDGET // max(1, per_img))
+        while members:
+            sub = members[:wave]
+            del members[:wave]  # release consumed raw streams
+            if len(sub) < UNFILTER_MIN_LANES:
+                # container already parsed + filter bytes screened:
+                # the serial unfilter on the held stream can't raise,
+                # and re-parsing (CRC walk + inflate) would double the
+                # container cost a plain per-image loop pays once
+                for i, raw in sub:
+                    results[i] = (w, h, ch, _unfilter_image(raw, w, h, ch))
+                STATS["serial_routed"] += len(sub)
+                continue
+            STATS["lockstep_lanes"] += len(sub)
+            pix = _unfilter_lockstep([r for _i, r in sub], w, h, ch)
+            for (i, _r), px in zip(sub, pix):
+                results[i] = (w, h, ch, px)
 
     for i in sorted(serial):
         try:

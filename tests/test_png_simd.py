@@ -21,9 +21,13 @@ from kgt.textops.multimodal import _PNG_SIG, decode_png, encode_png
 
 @pytest.fixture(autouse=True)
 def _restore_knobs():
-    en, ml = P.LOCKSTEP_ENABLED, P.UNFILTER_MIN_LANES
+    en, ml, rb = (
+        P.LOCKSTEP_ENABLED, P.UNFILTER_MIN_LANES, P.UNFILTER_RAW_BUDGET
+    )
     yield
-    P.LOCKSTEP_ENABLED, P.UNFILTER_MIN_LANES = en, ml
+    P.LOCKSTEP_ENABLED, P.UNFILTER_MIN_LANES, P.UNFILTER_RAW_BUDGET = (
+        en, ml, rb
+    )
 
 
 def _chunk(tag, data):
@@ -215,6 +219,28 @@ def test_stats_count_every_serial_route():
     assert isinstance(out[3], Exception)
     assert P.STATS["serial_routed"] == before_s + 4
     assert P.STATS["lockstep_lanes"] == before_l
+
+
+def test_raw_budget_waves_match_serial():
+    """Groups bigger than the raw-byte budget unfilter in waves:
+    results identical to serial across wave boundaries, including a
+    tail wave too narrow for lockstep (routed to the serial unfilter
+    on the held stream)."""
+    rng = np.random.default_rng(97)
+    P.LOCKSTEP_ENABLED = True
+    P.UNFILTER_MIN_LANES = 4
+    h, w, ch = 6, 5, 3
+    pays, refs = [], []
+    for _ in range(23):  # 4 waves of 5 + tail wave of 3 (< min -> serial)
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        pay = make_png(img, rng.integers(0, 5, size=h).tolist())
+        pays.append(pay)
+        refs.append(_serial(pay)[1])
+    P.UNFILTER_RAW_BUDGET = 5 * h * (w * ch + 1)  # 5 lanes per wave
+    before_l, before_s = P.STATS["lockstep_lanes"], P.STATS["serial_routed"]
+    assert P.decode_png_batch(pays) == refs
+    assert P.STATS["lockstep_lanes"] == before_l + 20
+    assert P.STATS["serial_routed"] == before_s + 3
 
 
 def test_randomized_schedule_differential():
