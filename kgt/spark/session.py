@@ -24,15 +24,21 @@ def get_spark(
     # driver's env, NOT the driver's sys.path — make the package root
     # importable for them so entry points work from any cwd (on a real
     # cluster spark-submit --py-files kgt.zip ships the package
-    # instead, see jobs/build_graph.py)
-    pkg_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_root + (os.pathsep + existing if existing else "")
+    # instead, see jobs/build_graph.py). NB this mutation is PROCESS-
+    # GLOBAL: every child process spawned after it sees the package
+    # root on PYTHONPATH, not just Spark workers — so it runs only
+    # when no session exists yet (i.e. when this call will actually
+    # create one; getOrCreate reuses an existing session without
+    # launching new workers).
+    if SparkSession.getActiveSession() is None:
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + existing if existing else "")
+            )
     if shuffle_partitions is None:
         # ~cores locally; on a real cluster this scales with executors
         # (or is left to AQE coalescing from a higher initial value)

@@ -31,7 +31,18 @@ def _turns_from_lines(df: DataFrame) -> DataFrame:
 
     Rows get a deterministic pseudo-shuffle (sorted by a hash) so the
     window/sort over turn_idx is load-bearing in tests, per FIXTURES.md.
+
+    The input is fanned out to the session's core count FIRST: the
+    driver's tables are single parquet files (one input split), so
+    without this the posexplode + per-turn text expressions — the
+    single most expensive Catalyst stage of corpus generation — run on
+    one core and then feed the pseudo-shuffle exchange from one task.
+    The fan-out shuffles only the pre-explode rows (1 row per conv, ~7×
+    fewer than post-explode) and is scale-adaptive (defaultParallelism).
     """
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "conv_id"
+    )
     out = (
         df.select(
             "conv_id",

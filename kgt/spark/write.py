@@ -129,8 +129,18 @@ def pretty_turtle(
             {"conv_id": [pdf["conv_id"].iloc[0]], "ttl": [ttl]}
         )
 
-    return triples.groupBy("conv_id").applyInPandas(
-        serialize, schema="conv_id string, ttl string"
+    # pin the grouping exchange at the session's core count: the
+    # grouped rows are bytes-small, so left to AQE the ENSURE_REQUIREMENTS
+    # exchange coalesces to 1-2 partitions and the CPU-bound Python
+    # serialize stage runs on 1-2 cores (the reassemble() pitfall). An
+    # explicit repartition on the SAME key satisfies the groupBy's
+    # clustering requirement — still exactly one exchange — but its
+    # partition count is user-pinned and scale-adaptive.
+    n = triples.sparkSession.sparkContext.defaultParallelism
+    return (
+        triples.repartition(n, "conv_id")
+        .groupBy("conv_id")
+        .applyInPandas(serialize, schema="conv_id string, ttl string")
     )
 
 

@@ -326,6 +326,7 @@ def streaming_near_dup(
     rows_per_band: int = 4,
     bucket_cap: int = 10000,
     trigger_available_now: bool = True,
+    fanout: int | None = None,
 ):
     """Streaming NEAR-dup — banded-MinHash LSH for a continuous
     training-data feed, the stateful twin of the batch
@@ -356,6 +357,18 @@ def streaming_near_dup(
     """
     from kgt.textops.dedup import banded_signatures_rowwise
 
+    # Fan the micro-batch out BEFORE the signature projection: a file
+    # source batch has as many partitions as files in the trigger
+    # (often ONE), and the md5-heavy shingle/minhash expressions are
+    # the batch's dominant CPU cost — measured 11.7 s single-core vs
+    # sub-second wide for a ~3k-doc batch at sf0.1. The added exchange
+    # moves only (doc_id, text) rows; the stateful groupBy downstream
+    # shuffles again anyway. Scale-adaptive: defaults to the cluster's
+    # core count.
+    if fanout is None:
+        fanout = stream_df.sparkSession.sparkContext.defaultParallelism
+    if fanout and fanout > 1:
+        stream_df = stream_df.repartition(fanout)
     sigs = banded_signatures_rowwise(
         stream_df,
         text_col=text_col,
@@ -380,7 +393,11 @@ def streaming_near_dup(
     return writer.start()
 
 
-def drain_streaming_query(query, timeout_seconds: int = 600) -> bool:
+def drain_streaming_query(
+    query,
+    timeout_seconds: int = 600,
+    expected_data_batches: int | None = None,
+) -> bool:
     """Stop a stateful streaming query once its source is exhausted.
 
     With ProcessingTimeTimeout state, the micro-batch engine keeps
@@ -393,12 +410,23 @@ def drain_streaming_query(query, timeout_seconds: int = 600) -> bool:
     batches: this waits for ≥1 progress report with input rows and
     then 2 consecutive zero-input reports, stops the query, and awaits
     termination. Returns True if drained, False on timeout (query is
-    stopped either way)."""
+    stopped either way).
+
+    When the caller KNOWS how many data micro-batches the source must
+    produce (e.g. an availableNow replay of N files under
+    maxFilesPerTrigger=1 → exactly N), pass
+    ``expected_data_batches=N``: a batch's progress report is emitted
+    after its sink commit, so once the N-th data batch reports, the
+    sink is complete and the query can stop immediately — the engine's
+    trailing empty timeout-evaluation batches (each a full pass over
+    every state-store partition) are never run. Emissions only happen
+    in data batches (timeouts merely retire state), so the sink
+    contents are identical; this only removes dead-weight batches."""
     import time
 
     t0 = time.time()
     seen: set[int] = set()
-    data_seen = False
+    n_data = 0
     zero_streak = 0
     drained = False
     while time.time() - t0 < timeout_seconds and query.isActive:
@@ -406,18 +434,24 @@ def drain_streaming_query(query, timeout_seconds: int = 600) -> bool:
         if p is not None and p["batchId"] not in seen:
             seen.add(p["batchId"])
             if p["numInputRows"] > 0:
-                data_seen = True
+                n_data += 1
                 zero_streak = 0
+                if (
+                    expected_data_batches is not None
+                    and n_data >= expected_data_batches
+                ):
+                    drained = True
+                    break
             else:
                 zero_streak += 1
                 # after data: 2 empty batches = drained. With NO data
                 # at all (already-drained checkpoint / empty source):
                 # 3 empty batches = trivially drained — spinning the
                 # whole timeout was the old behavior (review find)
-                if zero_streak >= (2 if data_seen else 3):
+                if zero_streak >= (2 if n_data else 3):
                     drained = True
                     break
-        time.sleep(0.2)
+        time.sleep(0.05)
     query.stop()
     query.awaitTermination(60)
     return drained

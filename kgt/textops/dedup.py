@@ -297,6 +297,17 @@ def ngram_jaccard_pairs(
     sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     join_src = shingle_df
     if candidates is not None:
+        # pin the candidate table: it feeds TWO consumers below (the
+        # doc-level semi-join and the pair-level semi-join), and
+        # without persistence the whole LSH blocking subtree —
+        # signatures, bucket self-join, distinct — executes once per
+        # consumer (measured in the r8 plan audit: the subtree
+        # appeared twice in dedup_near_verified's physical plan;
+        # exchange reuse does not cover it because the optimizer
+        # rewrites each copy differently). At 100 TB the candidate
+        # pair list is a staged table between blocking and verify
+        # anyway; localCheckpoint is the single-job equivalent.
+        candidates = candidates.localCheckpoint(eager=False)
         cand_docs = candidates.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()

@@ -93,7 +93,13 @@ def lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
     d = np.concatenate([d, np.zeros(2, dtype=np.uint32)])
     bits_total = len(data) * 8
 
-    out = bytearray(expect + 4200)  # one entry may overshoot expect
+    # One table entry may overshoot `expect`: an entry grows by 1 pixel
+    # per code after its segment's clear, so its length is bounded by
+    # the entries added per segment (4096 - (clear + 2)) plus the two
+    # chars an entry starts with — derive the pad from that invariant
+    # instead of a magic constant (the tlen check below re-asserts it).
+    _max_entry = 4096 - (clear + 2) + 2
+    out = bytearray(expect + _max_entry)
     outnp = np.frombuffer(out, dtype=np.uint8)  # writable view
     mv = memoryview(out)
     # table entry c (c >= clear+2): output span tstart[c] : +tlen[c]

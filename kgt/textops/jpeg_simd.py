@@ -272,8 +272,11 @@ def _lockstep(st, img_idx, start_mcu, n_mcus, plan, rows_per, n_imgs, mcux):
             clen = pk & 31
             sac = isac[s]
             size = np.where(sac, sym & 15, sym)
-            # DC size>16 kills (serial raises); AC size==0 can't come
-            # off the fused table — guard anyway
+            # DC size>16 kills the lane; the serial decoder decodes
+            # these without error (garbage mantissa), so the kill
+            # routes the image to the serial oracle and reproduces its
+            # result — do NOT add a raise here to "match". AC size==0
+            # can't come off the fused table — guard anyway
             bad = np.where(sac, size == 0, size > 16)
             sz = np.where(bad, 0, size)
             bq = bit[s] + clen
