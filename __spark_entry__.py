@@ -1037,15 +1037,21 @@ def _q_sim_topk(spark, sf_dir):
 
 def _q_sim_topk_ivf(spark, sf_dir):
     """IVF ANN with real Voronoi cells (16 deterministic seed
-    centroids, nprobe=2): base vectors assigned to their nearest cell
-    by a shuffle-free projection, queries probe 2 cells, equi-join on
-    cid. The k-means-trained variant is pinned in tests (recall@k vs
-    brute force); the oracle uses the seed quantizer so DuckDB
-    reproduces the exact cells."""
+    centroids, nprobe=2): queries probe 2 cells, equi-join on cid. The
+    k-means-trained variant is pinned in tests (recall@k vs brute
+    force); the oracle uses the seed quantizer so DuckDB reproduces the
+    exact cells. assign='join': the broadcast-centroid assignment
+    measured 2.3× faster than the literal-expression path even at 16
+    cells for the full-corpus base side (3.4 → 1.5 s at sf0.1,
+    identical 40 rows — the same crossover dedup_embedding hit in r7:
+    the O(n_cells)-ary ranking expression is interpreter-bound, and
+    here EVERY base vector evaluates it), so the driver gate now runs
+    the path a 100-TB corpus would; the literal path stays gated by
+    sim_topk_ivf_trained + the path-agreement tests."""
     from kgt.textops.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, assign="join")
 
 
 def _q_sim_topk_ivf_join(spark, sf_dir):
@@ -1137,9 +1143,11 @@ def _q_doc_fingerprint(spark, sf_dir):
 def _q_multimodal_decode(spark, sf_dir):
     from kgt.textops.multimodal import decode_features, to_media
 
-    return decode_features(
-        to_media(_fanout(_read(spark, sf_dir, "documents"))), fake=True
-    )
+    # no _fanout here: the fake decode is byte-slicing (~0.3 s for the
+    # whole slot), so the extra text-column shuffle has nothing to buy
+    # back — fan-out only pays where the Python stage is the cost (the
+    # real codec slots); A/B at sf0.1 showed no win on the fake paths
+    return decode_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
 
 
 def _q_multimodal_decode_real(spark, sf_dir):
@@ -1453,11 +1461,8 @@ def _q_multimodal_resize(spark, sf_dir):
     decode, real batch shape — dims + integer scaling oracle-checked."""
     from kgt.textops.multimodal import resize, to_media
 
-    return resize(
-        to_media(_fanout(_read(spark, sf_dir, "documents"))),
-        max_side=256,
-        fake=True,
-    )
+    # no _fanout: same reasoning as multimodal_decode's fake path
+    return resize(to_media(_read(spark, sf_dir, "documents")), max_side=256, fake=True)
 
 
 def _q_multimodal_resize_real(spark, sf_dir):
@@ -1813,10 +1818,9 @@ def _q_multimodal_frames(spark, sf_dir):
     decoder, deterministic fake frames oracle-checked."""
     from kgt.textops.multimodal import frame_sample, to_media
 
+    # no _fanout: same reasoning as multimodal_decode's fake path
     return frame_sample(
-        to_media(_fanout(_read(spark, sf_dir, "documents"))),
-        n_frames=4,
-        fake=True,
+        to_media(_read(spark, sf_dir, "documents")), n_frames=4, fake=True
     )
 
 
@@ -1947,23 +1951,23 @@ def _q_streaming_near_dup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    # State-store partition count for the stateful stage: each data
-    # batch pays per-partition task + state-store-commit overhead
-    # (favoring FEWER partitions) but the applyInPandasWithState stage
-    # makes one Python call per (band, bucket) GROUP — ~27k groups per
-    # sf0.1 batch — whose cost parallelizes across partitions (favoring
-    # MORE). Measured at sf0.1: 8 → 16.5 s slot, 32 → 13.1 s, 16 →
-    # 11.7 s; cores/2 sits at the measured optimum. On a real cluster
-    # KGT_STREAM_STATE_PARTITIONS sizes it to the expected live-bucket
-    # volume instead (the measured bound: ~1.3 docs/bucket, partitions
-    # ≈ buckets/100k keeps stores O(100k) rows). The conf is set only
+    # State-store partition count for the stateful stage. The batch
+    # cost is dominated by the applyInPandasWithState update loop —
+    # one Python call per (band, bucket) GROUP, ~20k state-row updates
+    # per sf0.1 batch (progress metrics: allUpdatesTimeMs ≈ 70 s
+    # summed vs ≈ 2 s commit) — and that loop parallelizes across
+    # partitions, so size it to the session's core count: interleaved
+    # A/B at sf0.1 measured 32 partitions beating 16 in all three
+    # rounds (10.4/10.4/7.9 s vs 12.1/22.9/11.2 s). On a real cluster
+    # KGT_STREAM_STATE_PARTITIONS sizes it to max(total cores,
+    # live-bucket volume / ~100k rows per store). The conf is set only
     # around the stream start — the partitioning is baked into the new
     # checkpoint at start — and restored right after, so batch queries
     # are untouched.
     n_state = int(
         os.environ.get(
             "KGT_STREAM_STATE_PARTITIONS",
-            str(max(8, spark.sparkContext.defaultParallelism // 2)),
+            str(spark.sparkContext.defaultParallelism),
         )
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
