@@ -190,6 +190,26 @@ def _chargrams(col, q: int = 3):
     )
 
 
+def auto_gram_size(
+    n_dict: int, load: int = 30, floor: int = 3, ceiling: int = 8
+) -> int:
+    """The _chargrams scale rule made self-setting: the smallest q
+    whose worst-case varying-span gram universe (digit-only spans:
+    10^q) keeps the dictionary-per-universe LOAD under ``load``.
+
+    Calibration is the round-7 sf1 measurement: at q=3 (universe 10³)
+    a 15k-entry dictionary blocked fine (candidate ratio ~13) while
+    150k entries went quadratic (65 → 654 candidates per link) — i.e.
+    load 15 is safe, load 150 is broken. load=30 sits a 5× margin
+    under the measured breakdown: q=3 to 30k entries, q=4 to 300k,
+    q=5 to 3M, … Digit-only spans are the worst case, so mixed
+    alphabets only get more headroom. Deterministic in |dict| only."""
+    q = floor
+    while q < ceiling and load * (10 ** q) < max(n_dict, 1):
+        q += 1
+    return q
+
+
 def _gram_sigs(gram_rows, id_cols, n_hashes: int, rows_per_band: int):
     """BANDED char-gram MinHash signatures from exploded (id…, gram)
     rows: (id_cols..., band, mh).
@@ -516,7 +536,7 @@ def fuzzy_link(
     max_df: int | None = None,
     max_df_frac: float | None = None,
     materialize: bool = True,
-    gram_size: int = 3,
+    gram_size: int | str = 3,
 ) -> DataFrame:
     """Char-q-gram (default q=3) banded-MinHash blocking between
     UNLINKED surfaces and dict surfaces, then exact gram-Jaccard ≥
@@ -528,6 +548,10 @@ def fuzzy_link(
     gram universe exceeds |dict| (q=3 → ~10k entries, q=4 → ~1M,
     q=5 → ~100M), else blocking candidates grow quadratically in
     |dict| no matter how exact the prefix/positional filters are.
+    ``gram_size='auto'`` applies that documented rule itself:
+    q = auto_gram_size(|dict|) — one metadata-sized count of the
+    dimension-bounded dictionary at build time — so the dial is
+    self-setting instead of hand-picked per corpus scale.
 
     Feed this only the surfaces the exact broadcast join left unlinked
     (link_mentions → filter iri IS NULL): the LSH join then sees the
@@ -554,6 +578,8 @@ def fuzzy_link(
     source — measured ~1.7× slower at sf0.1. At 100 TB the gram tables
     would be a staged intermediate anyway.
     """
+    if gram_size == "auto":
+        gram_size = auto_gram_size(iri_dict.count())
     sg, dg = _gram_tables(
         unlinked_surfaces, iri_dict, max_df, max_df_frac, gram_size
     )

@@ -187,6 +187,53 @@ def test_fuzzy_link_df_cap_recall_on_id_like_names(spark):
     assert hits == n, f"linked {hits}/{n}"
 
 
+def test_auto_gram_size_pins_measured_crossover():
+    """gram_size='auto' must reproduce the round-7 measured dial: q=3
+    held at a 15k-entry dictionary (candidate ratio ~13) and went
+    quadratic at 150k, where q=4 held flat — the rule picks exactly
+    those values at those scales, deterministically in |dict| alone."""
+    from kgt.spark.link import auto_gram_size
+
+    assert auto_gram_size(15_000) == 3
+    assert auto_gram_size(150_000) == 4
+    # monotone, clamped
+    assert auto_gram_size(1) == 3
+    assert auto_gram_size(10**12) == 8
+    sizes = [auto_gram_size(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+    assert sizes == sorted(sizes)
+
+
+def test_fuzzy_link_auto_gram_size_matches_explicit(spark):
+    """gram_size='auto' end-to-end: identical links to the explicit q
+    the rule derives for this dictionary size."""
+    from kgt.spark.link import auto_gram_size, fuzzy_link
+    from pyspark.sql import functions as F
+
+    n = 50
+    d = spark.createDataFrame(
+        [(f"Account#{i:07d}", f"urn:a:{i}") for i in range(n)],
+        "surface string, iri string",
+    )
+    typos = d.select(
+        F.regexp_replace("surface", "^.", "").alias("surface")
+    )
+    q = auto_gram_size(n)
+    explicit = {
+        (r["surface"], r["iri"], r["jaccard"])
+        for r in fuzzy_link(
+            typos, d, min_jaccard=0.5, max_df=n // 5, gram_size=q
+        ).collect()
+    }
+    auto = {
+        (r["surface"], r["iri"], r["jaccard"])
+        for r in fuzzy_link(
+            typos, d, min_jaccard=0.5, max_df=n // 5, gram_size="auto"
+        ).collect()
+    }
+    assert auto == explicit
+    assert len(auto) == n
+
+
 def test_multimodal_stub_raises_without_fake(spark, sf_dir):
     from kgt.textops.multimodal import decode_features, to_media
 
