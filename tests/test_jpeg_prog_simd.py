@@ -396,3 +396,160 @@ def test_eob_run_rewrite_preserves_pixels():
         )
     finally:
         S.LOCKSTEP_ENABLED = True
+
+
+# ---------------------------------------------------------------------
+# Restart intervals in progressive scans: the project encoder refuses
+# DRI+progressive, so no full-container fixture can exercise the
+# kernels' per-segment lanes (predictor/EOB-run resets, per-segment
+# unit ranges). Drive the SCAN layer directly instead: synthesize
+# segmented entropy streams with a local emitter, decode them with the
+# serial scan functions (the oracle) and with a lockstep group of
+# several images, and require identical coefficient stores.
+# ---------------------------------------------------------------------
+
+
+def _emit_dc_segments(blocks_dc, ri, dc_codes, ah, al):
+    """Per-segment DC scan bytes for a single-component raster of
+    `blocks_dc` DC values: first pass (ah==0, diffs reset per
+    segment) or refinement (one bit per unit)."""
+    segs = []
+    bw = J._BitWriter()
+    pred = 0
+    for u, dc in enumerate(blocks_dc):
+        if ri and u and u % ri == 0:
+            segs.append(bw.flush())
+            bw = J._BitWriter()
+            pred = 0
+        if ah == 0:
+            t = dc >> al
+            diff = t - pred
+            pred = t
+            size = (diff if diff >= 0 else -diff).bit_length()
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        else:
+            bw.write((dc >> al) & 1, 1)
+    segs.append(bw.flush())
+    return segs
+
+
+def _emit_ac_segments(blocks_zz, ri, ac_codes, ah, al):
+    """Per-segment AC scan bytes (band 1..63) with EOB runs NOT
+    crossing segment boundaries (the decoder resets eobrun per
+    segment, so an emitter must too)."""
+    segs = []
+    start = 0
+    n = len(blocks_zz)
+    step = ri if ri else n
+    while start < n:
+        chunk = blocks_zz[start : start + step]
+        segs.append(_emit_ac_scan_with_runs(chunk, ac_codes, ah, al))
+        start += step
+    return segs
+
+
+@pytest.mark.parametrize("ri", [0, 3, 5])
+def test_restart_interval_scan_lanes_match_serial(ri):
+    """DC first/refine + AC first/refine kernels vs the serial scan
+    functions on the SAME segmented streams, across several images of
+    one lockstep group — per-segment predictor and EOB-run resets must
+    reproduce exactly."""
+    import numpy as np
+    import kgt.textops.jpeg_simd as S
+
+    rng = np.random.default_rng(77)
+    comps = [(1, 1, 1, 0)]  # one component, 1x1 sampling
+    mcux, mcuy = 4, 3  # 12 blocks per image
+    nb = mcux * mcuy
+    G = 6  # images in the lockstep group
+    al = 1
+    dc_bits, dc_vals = J.DC_LUMA_BITS, J.DC_LUMA_VALS
+    full_bits = [0] * 16
+    full_bits[8] = 255
+    full_bits[9] = 1
+    ac_bits, ac_vals = tuple(full_bits), tuple(range(256))
+    dc_codes = J._enc_codes(list(dc_bits), list(dc_vals))
+    ac_codes = J._enc_codes(list(full_bits), list(range(256)))
+
+    # random coefficient truth per image (small values, sparse)
+    truths = []
+    for g in range(G):
+        blocks = np.zeros((nb, 64), np.int64)
+        blocks[:, 0] = rng.integers(-40, 40, nb)
+        for b in range(nb):
+            for _ in range(rng.integers(0, 6)):
+                blocks[b, rng.integers(1, 64)] = rng.integers(-7, 8)
+        truths.append(blocks)
+
+    # scan layering: DC first (al), AC first (al), DC refine, AC refine
+    def serial_decode(blocks):
+        store = [[[0] * 64 for _ in range(nb)]]
+        zz_blocks = [[int(blocks[b, J.ZIGZAG[k]]) for k in range(64)]
+                     for b in range(nb)]
+        dc_vals_list = [z[0] for z in zz_blocks]
+        luts = {(0, 0): J._decode_lut(tuple(dc_bits), tuple(dc_vals)),
+                (1, 0): J._decode_lut(ac_bits, ac_vals)}
+        J._prog_dc_scan(
+            mcux * 8, mcuy * 8, comps, store, [(0, 0, 0)], 0, al,
+            _emit_dc_segments(dc_vals_list, ri, dc_codes, 0, al), ri,
+            luts, 1, 1, mcux, mcuy,
+        )
+        J._prog_ac_scan(
+            mcux * 8, mcuy * 8, comps, store, (0, 0, 0), 1, 63, 0, al,
+            _emit_ac_segments(zz_blocks, ri, ac_codes, 0, al), ri, luts,
+            1, 1, mcux,
+        )
+        J._prog_dc_scan(
+            mcux * 8, mcuy * 8, comps, store, [(0, 0, 0)], 1, 0,
+            _emit_dc_segments(dc_vals_list, ri, dc_codes, 1, 0), ri,
+            luts, 1, 1, mcux, mcuy,
+        )
+        J._prog_ac_scan(
+            mcux * 8, mcuy * 8, comps, store, (0, 0, 0), 1, 63, 1, 0,
+            _emit_ac_segments(zz_blocks, ri, ac_codes, 1, 0), ri, luts,
+            1, 1, mcux,
+        )
+        return [list(b) for b in store[0]]
+
+    serial_stores = [serial_decode(t) for t in truths]
+
+    # lockstep: drive _prog_group_decode with hand-built parsed tuples
+    specs_dc = {(0, 0): (tuple(dc_bits), tuple(dc_vals))}
+    specs_ac = {(1, 0): (ac_bits, ac_vals)}
+    scans = []
+    members = []
+    for g, blocks in enumerate(truths):
+        zz_blocks = [[int(blocks[b, J.ZIGZAG[k]]) for k in range(64)]
+                     for b in range(nb)]
+        dc_vals_list = [z[0] for z in zz_blocks]
+        sc = [
+            ([(1, 0, 0)], 0, 0, 0, al,
+             _emit_dc_segments(dc_vals_list, ri, dc_codes, 0, al), ri,
+             specs_dc),
+            ([(1, 0, 0)], 1, 63, 0, al,
+             _emit_ac_segments(zz_blocks, ri, ac_codes, 0, al), ri,
+             specs_ac),
+            ([(1, 0, 0)], 0, 0, 1, 0,
+             _emit_dc_segments(dc_vals_list, ri, dc_codes, 1, 0), ri,
+             specs_dc),
+            ([(1, 0, 0)], 1, 63, 1, 0,
+             _emit_ac_segments(zz_blocks, ri, ac_codes, 1, 0), ri,
+             specs_ac),
+        ]
+        parsed = (mcux * 8, mcuy * 8, comps, {0: [1] * 64}, sc, True,
+                  1, 1, mcux, mcuy)
+        members.append((g, parsed))
+        if g == 0:
+            scans = sc
+    coeff2d, base, rows_per, dead = S._prog_group_decode(
+        members, comps, scans, 1, 1, mcux, mcuy, mcux * 8, mcuy * 8
+    )
+    assert not dead, f"lockstep killed images {dead}"
+    for g in range(G):
+        got = coeff2d[base[0] + g * rows_per[0] : base[0] + (g + 1) * rows_per[0]]
+        assert [list(map(int, r)) for r in got] == serial_stores[g], (
+            f"image {g} store mismatch at ri={ri}"
+        )
